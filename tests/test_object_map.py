@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlfm_tpu.mapping import object_map as OBJ
+from vlfm_tpu.ops.clustering import largest_cluster_mask
+from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
+
+MIN_D, MAX_D = 0.5, 5.0
+FOV = np.deg2rad(79)
+FX = FY = 640 / (2 * np.tan(FOV / 2))
+
+
+def make_depth_with_blob(dist_m, h=480, w=640, cx=320, cy=240, r=60):
+    depth = np.full((h, w), 0.95, np.float32)  # background near max range
+    yy, xx = np.mgrid[:h, :w]
+    blob = (xx - cx) ** 2 + (yy - cy) ** 2 < r * r
+    depth[blob] = (dist_m - MIN_D) / (MAX_D - MIN_D)
+    mask = blob
+    return depth, mask
+
+
+class TestClustering:
+    def test_largest_cluster(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(scale=0.05, size=(60, 3))
+        b = rng.normal(scale=0.05, size=(30, 3)) + 5.0
+        noise = rng.uniform(-10, 10, size=(10, 3))
+        pts = np.vstack([a, b, noise]).astype(np.float32)
+        valid = np.ones(100, bool)
+        keep = np.asarray(
+            largest_cluster_mask(jnp.array(pts), jnp.array(valid), jnp.float32(0.3), jnp.int32(5))
+        )
+        assert keep[:60].all()
+        assert not keep[60:].any()
+
+    def test_only_noise(self):
+        pts = np.arange(30, dtype=np.float32).reshape(10, 3) * 10
+        keep = np.asarray(
+            largest_cluster_mask(jnp.array(pts), jnp.ones(10, bool), jnp.float32(0.2), jnp.int32(3))
+        )
+        assert not keep.any()
+
+
+class TestObjectMap:
+    def _update(self, state, depth, mask, x=0.0, y=0.0, yaw=0.0, seed=0):
+        tf = xyz_yaw_to_tf_matrix(jnp.array([x, y, 0.88]), jnp.float32(yaw))
+        return OBJ.update(
+            state, jax.random.PRNGKey(seed), jnp.array(depth), jnp.array(mask),
+            tf, MIN_D, MAX_D, FX, FY,
+        )
+
+    def test_detection_inserted_and_located(self):
+        state = OBJ.create(slots=8, points_per_slot=256)
+        depth, mask = make_depth_with_blob(3.0)
+        state = self._update(state, depth, mask)
+        assert bool(OBJ.has_object(state))
+        target, state = OBJ.get_best_object(state, jnp.zeros(2))
+        t = np.asarray(target)
+        # blob is straight ahead at ~3 m -> target near (3, 0)
+        assert abs(t[0] - 3.0) < 0.5 and abs(t[1]) < 0.5
+
+    def test_too_close_rejected(self):
+        state = OBJ.create(slots=8, points_per_slot=256)
+        depth, mask = make_depth_with_blob(0.7)
+        state = self._update(state, depth, mask)
+        assert not bool(OBJ.has_object(state))
+
+    def test_hysteresis(self):
+        state = OBJ.create(slots=8, points_per_slot=256)
+        depth, mask = make_depth_with_blob(3.0)
+        state = self._update(state, depth, mask)
+        t1, state = OBJ.get_best_object(state, jnp.zeros(2))
+        # new detection shifted by ~5 cm: target must not move
+        depth2, mask2 = make_depth_with_blob(3.05)
+        state = self._update(state, depth2, mask2, seed=1)
+        t2, state = OBJ.get_best_object(state, jnp.zeros(2))
+        assert np.allclose(np.asarray(t1), np.asarray(t2))
+
+    def test_offset_detection_is_suspect_and_evicted(self):
+        state = OBJ.create(slots=8, points_per_slot=256)
+        # blob hugging the left edge of the image -> suspect
+        depth, mask = make_depth_with_blob(3.0, cx=30, cy=240, r=30)
+        state = self._update(state, depth, mask)
+        assert bool(OBJ.has_object(state))
+        assert not bool(state.slot_in_range[0])
+        # approach: the suspect points fall inside the half-range cone and the
+        # slot is evicted
+        tf = xyz_yaw_to_tf_matrix(jnp.array([1.0, 1.0, 0.88]), jnp.float32(0.5))
+        state = OBJ.update_explored(state, tf, jnp.float32(MAX_D), jnp.float32(FOV))
+        assert not bool(OBJ.has_object(state))
+
+    def test_in_range_preferred(self):
+        state = OBJ.create(slots=8, points_per_slot=256)
+        depth_sus, mask_sus = make_depth_with_blob(3.0, cx=25, cy=240, r=25)
+        state = self._update(state, depth_sus, mask_sus)
+        depth_ok, mask_ok = make_depth_with_blob(2.0)
+        state = self._update(state, depth_ok, mask_ok, seed=2)
+        target, state = OBJ.get_best_object(state, jnp.zeros(2))
+        t = np.asarray(target)
+        assert abs(t[0] - 2.0) < 0.5 and abs(t[1]) < 0.5
+
+    def test_reset(self):
+        state = OBJ.create(slots=8, points_per_slot=256)
+        depth, mask = make_depth_with_blob(3.0)
+        state = self._update(state, depth, mask)
+        state = OBJ.reset(state)
+        assert not bool(OBJ.has_object(state))

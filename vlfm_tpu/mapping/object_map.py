@@ -1,0 +1,223 @@
+"""Functional object point-cloud map with detection-slot bookkeeping.
+
+Parity target: vlfm/mapping/object_point_cloud_map.py (ObjectPointCloudMap).
+
+TPU redesign: instead of an unbounded per-class dict of concatenated clouds
+tagged with random floats in a 4th column (:51-63) — which the reference later
+groups back together by exact float equality (:118-132) — the map is a ring of
+D fixed-size DETECTION SLOTS. Each slot holds up to M points plus per-slot
+flags. A slot is "suspect" when its detection was too offset in the image or
+out of depth range (:51-61); ``update_explored`` drops suspect slots whose
+points re-enter the half-range FOV cone (:102-132) — an exact, vectorized
+version of the random-id heuristic.
+
+Matching behaviours:
+- mask erosion before back-projection (:152-153, erosion_size iterations of a
+  3x3 kernel == one (2n+1)^2 erosion)
+- depth holes read as far (:155-157)
+- random subsample to a fixed budget (:159, here a fixed per-slot budget M)
+- DBSCAN largest-cluster filter (:160-161) via vlfm_tpu.ops.clustering
+- reject detections closer than 1 m (:65-70)
+- closest-point target selection with move hysteresis (:77-100)
+- within-range-only filtering when any in-range points exist (:134-141)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vlfm_tpu.ops.clustering import largest_cluster_mask
+from vlfm_tpu.ops.morphology import erode_repeated_3x3
+from vlfm_tpu.utils.geometry import (
+    extract_yaw,
+    get_point_cloud,
+    transform_points,
+    within_fov_cone,
+)
+
+DEFAULT_SLOTS = 64
+DEFAULT_POINTS_PER_SLOT = 512
+
+
+class ObjectMapState(NamedTuple):
+    points: jnp.ndarray  # (D, M, 3) episodic frame
+    point_valid: jnp.ndarray  # (D, M) bool
+    slot_used: jnp.ndarray  # (D,) bool
+    slot_in_range: jnp.ndarray  # (D,) bool — False marks suspect detections
+    cursor: jnp.ndarray  # () int32 ring-buffer write position
+    last_target: jnp.ndarray  # (2,)
+    has_last_target: jnp.ndarray  # () bool
+
+
+def create(slots: int = DEFAULT_SLOTS, points_per_slot: int = DEFAULT_POINTS_PER_SLOT) -> ObjectMapState:
+    return ObjectMapState(
+        points=jnp.zeros((slots, points_per_slot, 3)),
+        point_valid=jnp.zeros((slots, points_per_slot), bool),
+        slot_used=jnp.zeros(slots, bool),
+        slot_in_range=jnp.zeros(slots, bool),
+        cursor=jnp.int32(0),
+        last_target=jnp.zeros(2),
+        has_last_target=jnp.bool_(False),
+    )
+
+
+def reset(state: ObjectMapState) -> ObjectMapState:
+    return create(state.points.shape[0], state.points.shape[1])
+
+
+def has_object(state: ObjectMapState) -> jnp.ndarray:
+    return (state.slot_used[:, None] & state.point_valid).any()
+
+
+def _too_offset(mask: jnp.ndarray) -> jnp.ndarray:
+    """Bounding box entirely in the left/right third AND touching the 5% edge
+    band (object_point_cloud_map.py:269-297)."""
+    w = mask.shape[1]
+    cols = mask.any(axis=0)
+    any_at_all = cols.any()
+    first = jnp.argmax(cols)
+    last = w - 1 - jnp.argmax(cols[::-1])
+    third = w // 3
+    left = (last + 1 <= third) & (first <= int(0.05 * w))
+    right = (first >= 2 * third) & (last + 1 >= int(0.95 * w))
+    return any_at_all & (left | right)
+
+
+def _subsample(rng, valid_flat: jnp.ndarray, budget: int) -> jnp.ndarray:
+    """Pick up to ``budget`` indices among valid entries, uniformly at random.
+
+    Returns (budget,) indices and a (budget,) keep-mask.
+    """
+    n = valid_flat.shape[0]
+    noise = jax.random.uniform(rng, (n,))
+    score = jnp.where(valid_flat, noise, 2.0)  # invalid sink to the end
+    order = jnp.argsort(score)
+    idx = order[:budget]
+    keep = valid_flat[idx]
+    return idx, keep
+
+
+@partial(jax.jit, static_argnames=("erosion_size", "use_dbscan"))
+def update(
+    state: ObjectMapState,
+    rng: jnp.ndarray,
+    depth: jnp.ndarray,  # (H, W) normalized
+    object_mask: jnp.ndarray,  # (H, W) bool from the segmenter
+    tf_camera_to_episodic: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+    fx: float,
+    fy: float,
+    *,
+    erosion_size: int = 5,
+    use_dbscan: bool = True,
+    dbscan_eps: float = 0.2,
+    dbscan_min_points_per_5000: float = 100.0,
+) -> ObjectMapState:
+    """Insert one detection into a slot (no-op when it fails the filters)."""
+    d_slots, m = state.points.shape[:2]
+    eroded = erode_repeated_3x3(object_mask, erosion_size)
+
+    depth_far = jnp.where(depth == 0, 1.0, depth)
+    scaled = depth_far * (max_depth - min_depth) + min_depth
+    pts_cam, valid = get_point_cloud(scaled, eroded, fx, fy)
+
+    idx, keep = _subsample(rng, valid, m)
+    cloud_cam = pts_cam[idx]
+
+    if use_dbscan:
+        min_pts = jnp.maximum(
+            jnp.round(dbscan_min_points_per_5000 * m / 5000.0), 2.0
+        ).astype(jnp.int32)
+        keep = largest_cluster_mask(cloud_cam, keep, jnp.float32(dbscan_eps), min_pts)
+
+    # suspect if detection hugs the image edge or reaches past 95% range
+    offset = _too_offset(object_mask)
+    out_of_range = (keep & (cloud_cam[:, 0] > max_depth * 0.95)).any()
+    in_range = ~(offset | out_of_range)
+
+    cloud_epi = transform_points(tf_camera_to_episodic, cloud_cam)
+
+    cam_pos = tf_camera_to_episodic[:3, 3]
+    dists = jnp.linalg.norm(cloud_epi - cam_pos, axis=1)
+    closest = jnp.min(jnp.where(keep, dists, jnp.inf))
+    ok = keep.any() & (closest >= 1.0)  # too-close detections are untrusted
+
+    slot = state.cursor % d_slots
+    new_points = state.points.at[slot].set(jnp.where(ok, cloud_epi, state.points[slot]))
+    new_valid = state.point_valid.at[slot].set(
+        jnp.where(ok, keep, state.point_valid[slot])
+    )
+    return state._replace(
+        points=new_points,
+        point_valid=new_valid,
+        slot_used=state.slot_used.at[slot].set(
+            jnp.where(ok, True, state.slot_used[slot])
+        ),
+        slot_in_range=state.slot_in_range.at[slot].set(
+            jnp.where(ok, in_range, state.slot_in_range[slot])
+        ),
+        cursor=state.cursor + ok.astype(jnp.int32),
+    )
+
+
+@jax.jit
+def update_explored(
+    state: ObjectMapState,
+    tf_camera_to_episodic: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    cone_fov: jnp.ndarray,
+) -> ObjectMapState:
+    """Drop suspect slots whose points re-enter the half-range FOV cone.
+
+    Mirrors object_point_cloud_map.py:102-132: a suspect (out-of-range /
+    too-offset) detection that we can now see up close but no longer detect
+    was an ephemeral false positive.
+    """
+    cam = tf_camera_to_episodic[:3, 3]
+    yaw = extract_yaw(tf_camera_to_episodic)
+
+    def slot_hit(pts, pvalid):
+        cone = within_fov_cone(cam, yaw, cone_fov, max_depth * 0.5, pts)
+        return (cone & pvalid).any()
+
+    hits = jax.vmap(slot_hit)(state.points, state.point_valid)
+    drop = hits & state.slot_used & ~state.slot_in_range
+    return state._replace(slot_used=state.slot_used & ~drop)
+
+
+@jax.jit
+def get_best_object(state: ObjectMapState, curr_position: jnp.ndarray):
+    """(target_xy, new_state): closest target point with move hysteresis."""
+    d, m = state.point_valid.shape
+    pts = state.points.reshape(d * m, 3)
+    pvalid = (state.point_valid & state.slot_used[:, None]).reshape(d * m)
+    in_range = (state.point_valid & (state.slot_used & state.slot_in_range)[:, None]).reshape(d * m)
+
+    # Prefer in-range points when any exist (:134-141).
+    use = jnp.where(in_range.any(), in_range, pvalid)
+    dist = jnp.linalg.norm(pts[:, :2] - curr_position[:2], axis=1)
+    dist = jnp.where(use, dist, jnp.inf)
+    closest = pts[jnp.argmin(dist), :2]
+
+    delta = jnp.linalg.norm(closest - state.last_target)
+    far_away = jnp.linalg.norm(curr_position[:2] - closest) > 2.0
+    keep_old = state.has_last_target & ((delta < 0.1) | ((delta < 0.5) & far_away))
+    target = jnp.where(keep_old, state.last_target, closest)
+
+    new_state = state._replace(last_target=target, has_last_target=jnp.bool_(True))
+    return target, new_state
+
+
+def get_target_cloud(state: ObjectMapState):
+    """(points, mask) of the current target cloud (in-range preferred)."""
+    d, m = state.point_valid.shape
+    pts = state.points.reshape(d * m, 3)
+    pvalid = (state.point_valid & state.slot_used[:, None]).reshape(d * m)
+    in_range = (state.point_valid & (state.slot_used & state.slot_in_range)[:, None]).reshape(d * m)
+    mask = jnp.where(in_range.any(), in_range, pvalid)
+    return pts, mask
