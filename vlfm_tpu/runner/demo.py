@@ -1,0 +1,82 @@
+"""Closed-loop demo: `python -m vlfm_tpu.runner.demo [--episodes N] [--cpu]`.
+
+Runs full ObjectNav episodes of the synthetic two-room environment through
+the complete TPU-native stack (obstacle/value/object maps, frontier
+selection, PointNav controller) and prints per-episode results + aggregates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--episodes", type=int, default=3)
+    parser.add_argument("--max-steps", type=int, default=200)
+    parser.add_argument("--cpu", action="store_true", help="force CPU devices")
+    parser.add_argument("--plan", choices=["open", "two_room"], default="open")
+    parser.add_argument("--image-height", type=int, default=240)
+    parser.add_argument("--image-width", type=int, default=320)
+    parser.add_argument(
+        "--controller",
+        choices=["neural", "greedy"],
+        default="greedy",
+        help="'neural' uses the PointNav net (random weights unless a "
+        "checkpoint is converted); 'greedy' is the deterministic rho-theta "
+        "controller",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    from vlfm_tpu.config import CameraConfig, VLFMConfig
+    from vlfm_tpu.mapping.grid import GridSpec2D
+    from vlfm_tpu.models.pointnav import PointNavPolicy
+    from vlfm_tpu.runner import metrics as M
+    from vlfm_tpu.runner.episode_driver import run_episode
+    from vlfm_tpu.runner.fake_env import (
+        EnvConfig,
+        FakeObjectNavEnv,
+        open_room_plan,
+        two_room_plan,
+    )
+
+    cfg = VLFMConfig(
+        camera=CameraConfig(height=args.image_height, width=args.image_width)
+    )
+    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=128)
+    if args.controller == "neural":
+        pn = PointNavPolicy({}, discrete=True)
+        params = pn.init_params(
+            jax.random.PRNGKey(0), depth_shape=tuple(cfg.depth_image_shape)
+        )
+        pointnav = PointNavPolicy(params, discrete=True)
+    else:
+        pointnav = "greedy"
+
+    env_cfg = EnvConfig(
+        width=args.image_width, height=args.image_height, max_steps=args.max_steps
+    )
+    make_plan = open_room_plan if args.plan == "open" else two_room_plan
+
+    results = []
+    for ep in range(args.episodes):
+        env = FakeObjectNavEnv(make_plan(seed=ep), env_cfg)
+        result, stats = run_episode(env, pointnav, spec, cfg, seed=ep)
+        results.append(result)
+        print(
+            f"episode {ep}: success={result.success} spl={result.spl:.3f} "
+            f"steps={result.steps} dist={result.distance_to_goal:.2f} "
+            f"cause={result.failure_cause} "
+            f"({stats.steps_per_sec:.2f} steps/s)"
+        )
+    print(json.dumps(M.aggregate(results), indent=2))
+
+
+if __name__ == "__main__":
+    main()
