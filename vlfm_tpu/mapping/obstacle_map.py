@@ -41,8 +41,9 @@ from vlfm_tpu.ops.flood import flood_from_seed
 from vlfm_tpu.ops.fog_of_war import reveal_fog_of_war_window
 from vlfm_tpu.ops.frontier import detect_frontiers
 from vlfm_tpu.ops.morphology import dilate
+from vlfm_tpu.ops.raster import splat_depth_to_window
 from vlfm_tpu.ops.windows import read_window, write_window
-from vlfm_tpu.utils.geometry import extract_yaw, get_point_cloud, transform_points
+from vlfm_tpu.utils.geometry import extract_yaw
 
 
 class ObstacleMapState(NamedTuple):
@@ -120,6 +121,7 @@ def update(
     min_height: float,
     max_height: float,
     area_thresh_m2: float,
+    full_prune: jnp.ndarray | bool = True,
     *,
     agent_radius: float = 0.18,
     window: int = 224,
@@ -139,21 +141,28 @@ def update(
     if update_obstacles:
         filled = fill_depth_holes(depth)
         scaled = filled * (max_depth - min_depth) + min_depth
+        # Episodic height of each pixel: z_epi = cam_z - (v - H/2) * z / fy
+        # (yaw rotates about z, so the height band never needs the 4x4
+        # transform the reference applies to all 300k points).
+        hgt = depth.shape[0]
+        v = jnp.arange(hgt, dtype=scaled.dtype)[:, None]
+        z_epi = tf_camera_to_episodic[2, 3] - (v - hgt // 2) * scaled / fy
         # Unfilled holes (catastrophic dropout frames) would otherwise read as
         # phantom obstacles at min_depth; exclude them. (The reference shares
         # this failure mode — its contour-area threshold also declines to fill
         # mostly-black frames, obstacle_map.py:87-93.)
-        pmask = (scaled < max_depth) & (filled > 0)
-        pts_cam, valid = get_point_cloud(scaled, pmask, fx, fy)
-        pts_epi = transform_points(tf_camera_to_episodic, pts_cam)
-        valid = valid & (pts_epi[:, 2] >= min_height) & (pts_epi[:, 2] <= max_height)
-
-        # Splat into the window (camera at centre).
-        prc = spec.to_storage(spec.xy_to_px(pts_epi[:, :2]))
-        rel = prc - (rc - window // 2)
-        inside = valid & jnp.all((rel >= 0) & (rel < window), axis=-1)
-        rel = jnp.where(inside[:, None], rel, 0)
-        splat = jnp.zeros((window, window), bool).at[rel[:, 0], rel[:, 1]].max(inside)
+        in_band = (
+            (filled > 0) & (z_epi >= min_height) & (z_epi <= max_height)
+        )
+        splat = splat_depth_to_window(
+            scaled,
+            in_band,
+            yaw,
+            jnp.float32(fx),
+            jnp.float32(max_depth),
+            window=window,
+            pixels_per_meter=spec.pixels_per_meter,
+        )
 
         obs_w = read_window(obstacles, rc, window) | splat
         obstacles = write_window(obstacles, obs_w, rc)
@@ -180,12 +189,19 @@ def update(
     explored = write_window(state.explored, exp_w, rc)
     explored = explored & navigable
 
-    # Keep only the region containing the agent (flood fill from a small
-    # disk at the agent cell; skip the prune if the flood found nothing).
-    seed = jnp.zeros_like(explored)
-    seed = jax.lax.dynamic_update_slice(
-        seed, jnp.ones((9, 9), bool), (rc[0] - 4, rc[1] - 4)
+    # Keep only the region containing the agent. Incremental flood: seed with
+    # (previous kept region ∩ current explored) ∪ agent disk, so convergence
+    # needs only as many sweeps as the newly revealed area is thick, instead
+    # of re-growing from the agent across the whole map every step. When
+    # ``full_prune`` is set (the policy raises it periodically) the seed is
+    # the agent disk alone, which exactly reproduces the reference's
+    # keep-the-contour-containing-the-agent behaviour (obstacle_map.py:128-146)
+    # and evicts any region the incremental seeding kept across a split.
+    agent_seed = jnp.zeros_like(explored)
+    agent_seed = jax.lax.dynamic_update_slice(
+        agent_seed, jnp.ones((9, 9), bool), (rc[0] - 4, rc[1] - 4)
     )
+    seed = agent_seed | (state.explored & explored & ~jnp.asarray(full_prune, bool))
     kept = flood_from_seed(explored, seed)
     explored = jnp.where(kept.any(), kept, explored)
 

@@ -1,0 +1,100 @@
+"""Shared transformer building blocks (flax), bf16-first.
+
+Compute policy: parameters may be stored f32; activations run in bf16 with
+f32 layer-norm statistics and f32 attention softmax — the standard TPU
+inference recipe. All blocks are shape-static and shard-friendly (the head
+axis is the natural tensor-parallel axis).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in f32, cast back to the input dtype."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32)
+        )
+        return y.astype(dtype)
+
+
+def attention(q, k, v, mask: Optional[jnp.ndarray] = None):
+    """(B, H, Lq, D) x (B, H, Lk, D) -> (B, H, Lq, D); softmax in f32."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / jnp.sqrt(d)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+class FusedQKVAttention(nn.Module):
+    """CLIP/EVA-style attention with one fused qkv projection."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = attention(
+            split_heads(q, self.num_heads),
+            split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads),
+        )
+        return nn.Dense(d, name="proj")(merge_heads(out))
+
+
+class BertAttention(nn.Module):
+    """BERT-style attention with separate q/k/v, optional cross-attention."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, kv=None, mask=None):
+        d = x.shape[-1]
+        kv = x if kv is None else kv
+        q = nn.Dense(d, name="query")(x)
+        k = nn.Dense(d, name="key")(kv)
+        v = nn.Dense(d, name="value")(kv)
+        out = attention(
+            split_heads(q, self.num_heads),
+            split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads),
+            mask=mask,
+        )
+        return nn.Dense(d, name="out")(merge_heads(out))
+
+
+class MLP(nn.Module):
+    hidden: int
+    approximate_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        y = nn.Dense(self.hidden, name="fc1")(x)
+        y = nn.gelu(y, approximate=self.approximate_gelu)
+        return nn.Dense(d, name="fc2")(y)

@@ -20,11 +20,15 @@ import jax.numpy as jnp
 from vlfm_tpu.ops.morphology import dilate
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def flood_from_seed(mask: jnp.ndarray, seed: jnp.ndarray, max_iters: int = 1024) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def flood_from_seed(
+    mask: jnp.ndarray, seed: jnp.ndarray, max_iters: int = 1024, check_every: int = 8
+) -> jnp.ndarray:
     """Pixels of ``mask`` 8-connected to ``seed`` (both bool, same shape).
 
-    Runs dilate-and-intersect to convergence (bounded by ``max_iters``).
+    Runs dilate-and-intersect to convergence (bounded by ``max_iters``). The
+    convergence reduction only runs every ``check_every`` dilations — between
+    checks the iteration is a pure elementwise pipeline XLA can fuse.
     """
     seed = seed & mask
 
@@ -34,21 +38,22 @@ def flood_from_seed(mask: jnp.ndarray, seed: jnp.ndarray, max_iters: int = 1024)
 
     def body(carry):
         cur, _, i = carry
-        nxt = dilate(cur, 3) & mask
-        return nxt, (nxt != cur).any(), i + 1
+        nxt = cur
+        for _ in range(check_every):
+            nxt = dilate(nxt, 3) & mask
+        return nxt, (nxt != cur).any(), i + check_every
 
     out, _, _ = jax.lax.while_loop(cond, body, (seed, jnp.bool_(True), 0))
     return out
 
 
 def _min_label_step(labels: jnp.ndarray) -> jnp.ndarray:
+    big = jnp.iinfo(jnp.int32).max
+    labels = jax.lax.reduce_window(
+        labels, big, jax.lax.min, window_dimensions=(1, 3), window_strides=(1, 1), padding="SAME"
+    )
     return jax.lax.reduce_window(
-        labels,
-        jnp.iinfo(jnp.int32).max,
-        jax.lax.min,
-        window_dimensions=(3, 3),
-        window_strides=(1, 1),
-        padding="SAME",
+        labels, big, jax.lax.min, window_dimensions=(3, 1), window_strides=(1, 1), padding="SAME"
     )
 
 
@@ -72,8 +77,10 @@ def label_components(mask: jnp.ndarray, max_iters: int) -> jnp.ndarray:
 
     def body(carry):
         cur, _, i = carry
-        nxt = jnp.where(mask, jnp.minimum(cur, _min_label_step(cur)), big)
-        return nxt, (nxt != cur).any(), i + 1
+        nxt = cur
+        for _ in range(4):
+            nxt = jnp.where(mask, jnp.minimum(nxt, _min_label_step(nxt)), big)
+        return nxt, (nxt != cur).any(), i + 4
 
     out, _, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True), 0))
     return out
@@ -92,9 +99,13 @@ def component_sizes(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, counts[flat.clip(0, h * w - 1)].reshape(h, w), 0)
 
 
-@partial(jax.jit, static_argnames=("factor", "max_iters"))
+@partial(jax.jit, static_argnames=("factor", "max_iters", "max_roots"))
 def remove_small_components_coarse(
-    mask: jnp.ndarray, area_thresh_px: jnp.ndarray, factor: int = 4, max_iters: int = 512
+    mask: jnp.ndarray,
+    area_thresh_px: jnp.ndarray,
+    factor: int = 4,
+    max_iters: int = 512,
+    max_roots: int = 128,
 ) -> jnp.ndarray:
     """Drop components of ``mask`` whose area is below ``area_thresh_px``.
 
@@ -104,11 +115,28 @@ def remove_small_components_coarse(
     coarse cells * factor^2. Intended for the "ignore small unexplored
     pockets" filter in frontier detection where a few-pixel tolerance is
     irrelevant.
+
+    Component sizes are counted against the first ``max_roots`` component
+    roots by direct comparison (a dense (roots x cells) reduction — no
+    scatter); components beyond that many roots are conservatively KEPT, as
+    are pieces of large regions whose labeling did not converge in
+    ``max_iters``.
     """
     from vlfm_tpu.ops.morphology import max_pool_downsample, upsample_nearest
+    from vlfm_tpu.ops.sparse import first_nonzero_indices
 
     coarse = max_pool_downsample(mask, factor)
     labels = label_components(coarse, max_iters)
-    sizes = component_sizes(labels, coarse)
-    keep = sizes.astype(jnp.float32) * (factor * factor) >= area_thresh_px
+    flat = labels.reshape(-1)
+    n = flat.shape[0]
+    roots = (flat == jnp.arange(n)) & coarse.reshape(-1)
+    root_idx, rvalid = first_nonzero_indices(roots, max_roots)
+    match = flat[None, :] == root_idx[:, None]  # (R, N)
+    match = match & rvalid[:, None] & coarse.reshape(-1)[None, :]
+    sizes = match.sum(axis=1)
+    small = rvalid & (
+        sizes.astype(jnp.float32) * (factor * factor) < area_thresh_px
+    )
+    drop = (match & small[:, None]).any(axis=0).reshape(coarse.shape)
+    keep = coarse & ~drop
     return mask & upsample_nearest(keep, factor)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from vlfm_tpu.ops.flood import remove_small_components_coarse
 from vlfm_tpu.ops.morphology import dilate
+from vlfm_tpu.ops.sparse import first_nonzero_coords, first_nonzero_indices
 
 
 class Frontiers(NamedTuple):
@@ -75,15 +76,21 @@ def detect_frontiers(
 ) -> Frontiers:
     explored_d = dilate(explored, 5)
     unexplored = navigable & ~explored_d
+    # max_iters bounds the coarse labeling: pockets below any realistic area
+    # threshold converge within ~thresh/factor^2 iterations; unconverged
+    # (necessarily large) regions split into pieces each bigger than that.
     unexplored = remove_small_components_coarse(
-        unexplored, jnp.asarray(area_thresh_px, jnp.float32), factor=coarse_factor
+        unexplored,
+        jnp.asarray(area_thresh_px, jnp.float32),
+        factor=coarse_factor,
+        max_iters=64,
     )
 
     frontier_mask = unexplored & dilate(explored_d, 3)
 
-    rows, cols = jnp.nonzero(frontier_mask, size=max_cells, fill_value=-1)
-    valid = rows >= 0
+    rows, cols, valid = first_nonzero_coords(frontier_mask, max_cells)
     coords = jnp.stack([rows, cols], axis=-1).astype(jnp.int32)
+    coords = jnp.where(valid[:, None], coords, -1)
     overflow = frontier_mask.sum() > max_cells
 
     # ceil(log2(max_cells)) squarings give full closure for any diameter
@@ -91,8 +98,8 @@ def detect_frontiers(
     labels = _cluster_sparse(coords, valid, steps)
 
     roots = valid & (labels == jnp.arange(max_cells))
-    root_idx = jnp.nonzero(roots, size=max_frontiers, fill_value=-1)[0]
-    f_valid = root_idx >= 0
+    root_idx, f_valid = first_nonzero_indices(roots, max_frontiers)
+    root_idx = jnp.where(f_valid, root_idx, -1)
 
     member = labels[None, :] == root_idx[:, None].clip(0)  # (F, P)
     member = member & valid[None, :] & f_valid[:, None]

@@ -13,13 +13,13 @@ import jax.numpy as jnp
 
 
 def _window_reduce(x: jnp.ndarray, k: int, init, op) -> jnp.ndarray:
+    # Square max/min filters are separable: (1, k) then (k, 1) reduce_windows
+    # touch 2k elements per output instead of k^2.
+    x = jax.lax.reduce_window(
+        x, init, op, window_dimensions=(1, k), window_strides=(1, 1), padding="SAME"
+    )
     return jax.lax.reduce_window(
-        x,
-        init,
-        op,
-        window_dimensions=(k, k),
-        window_strides=(1, 1),
-        padding="SAME",
+        x, init, op, window_dimensions=(k, 1), window_strides=(1, 1), padding="SAME"
     )
 
 

@@ -1,0 +1,124 @@
+"""Scatter-free top-down obstacle splat: polar histogram + cartesian gather.
+
+The reference back-projects every depth pixel to a 3-D point, transforms all
+~300k points to the episodic frame, and writes them into the grid
+(obstacle_map.py:92-101) — on TPU that is a giant serialized scatter plus a
+pointless 4x4 matmul over 300k points (yaw never affects the height test and
+the planar position is fully determined by (column bearing, z-depth)).
+
+Here the same information is built as a POLAR OCCUPANCY HISTOGRAM
+(image-column x radial-bin, radial bin == one grid cell) with pure
+reductions, then resampled into the cartesian window with one gather per
+window cell — the exact inverse-direction formulation used by the cone
+kernel. Column bearings use the true pinhole model (atan((u - W/2)/fx)). To
+keep thin obstacles that fall between sampled columns, the histogram is
+pre-dilated along the column axis by the angular footprint of one grid cell
+at each radius (near bins need wider dilation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_RADIAL_BINS = 128  # >= max_depth * pixels_per_meter for the reference envelope
+
+
+def _dilate_cols(hist: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k <= 1:
+        return hist
+    return jax.lax.reduce_window(
+        hist, False, jax.lax.bitwise_or, (k, 1), (1, 1), "SAME"
+    )
+
+
+@partial(jax.jit, static_argnames=("window", "pixels_per_meter"))
+def splat_depth_to_window(
+    depth_m: jnp.ndarray,  # (H, W) metric z-depth
+    in_band: jnp.ndarray,  # (H, W) pixels whose episodic height is in range
+    yaw: jnp.ndarray,
+    fx: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    *,
+    window: int = 224,
+    pixels_per_meter: int = 20,
+) -> jnp.ndarray:
+    """(window, window) bool obstacle mask around the camera (at centre)."""
+    h, w = depth_m.shape
+    pps = float(pixels_per_meter)
+
+    u = jnp.arange(w, dtype=jnp.float32)
+    tan_phi = (u - w // 2) / fx
+    phi = jnp.arctan(tan_phi)  # column bearing, left negative
+    r_pix = depth_m * jnp.sqrt(1.0 + tan_phi**2)[None, :]  # planar radius
+    bins = jnp.round(r_pix * pps).astype(jnp.int32)
+    ok = in_band & (depth_m < max_depth) & (bins >= 0) & (bins < _RADIAL_BINS)
+
+    # (W, R) histogram, BIT-PACKED: radial bin b maps to bit b%32 of word
+    # b//32; per column, OR-reduce the per-pixel one-bit words over the rows.
+    # Pure VPU ops — no scatter, no sort, no (H, W, R) intermediate.
+    n_words = _RADIAL_BINS // 32
+    shift = (bins % 32).astype(jnp.uint32)
+    word_idx = bins // 32
+    val = jnp.where(ok, jnp.left_shift(jnp.uint32(1), shift), jnp.uint32(0))
+    hist_words = jnp.stack(
+        [
+            jax.lax.reduce(
+                jnp.where(word_idx == k, val, jnp.uint32(0)),
+                jnp.uint32(0),
+                jax.lax.bitwise_or,
+                (0,),
+            )
+            for k in range(n_words)
+        ],
+        axis=-1,
+    )  # (W, n_words)
+    bit_ids = jnp.arange(32, dtype=jnp.uint32)
+    hist = (
+        (hist_words[:, :, None] >> bit_ids[None, None, :]) & 1
+    ).astype(bool).reshape(w, _RADIAL_BINS)  # (W, R)
+
+    # Column-dilate by the angular footprint of one grid cell at each radius:
+    # reach(cols) ~= (cell_diag/2) / (r * dphi_min), with the conservative
+    # minimum column spacing dphi_min = cos^2(fov/2)/fx.
+    half_fov = jnp.arctan((w / 2) / fx)
+    dphi_min = jnp.cos(half_fov) ** 2 / fx
+    half_diag = 0.71 / pps
+    r_of_bin = jnp.arange(_RADIAL_BINS, dtype=jnp.float32) / pps
+    reach = jnp.ceil(
+        half_diag / (jnp.maximum(r_of_bin, 0.05) * dphi_min)
+    ).astype(jnp.int32)
+    variants = jnp.stack(
+        [
+            _dilate_cols(hist, 9),
+            _dilate_cols(hist, 17),
+            _dilate_cols(hist, 33),
+            _dilate_cols(hist, 65),
+        ]
+    )  # (4, W, R)
+    sel = jnp.where(reach <= 4, 0, jnp.where(reach <= 8, 1, jnp.where(reach <= 16, 2, 3)))
+    hist_d = jnp.take_along_axis(
+        variants, jnp.broadcast_to(sel[None, None, :], (1, w, _RADIAL_BINS)), axis=0
+    )[0]
+
+    # cartesian gather over the window
+    half = window // 2
+    dr = (jnp.arange(window, dtype=jnp.float32) - half)[:, None] / pps
+    dc = (jnp.arange(window, dtype=jnp.float32) - half)[None, :] / pps
+    dx = dr + jnp.zeros((1, window))
+    dy = -dc + jnp.zeros((window, 1))
+    cos_t, sin_t = jnp.cos(yaw), jnp.sin(yaw)
+    fwd = dx * cos_t + dy * sin_t
+    left = -dx * sin_t + dy * cos_t
+    radial = jnp.sqrt(fwd * fwd + left * left)
+
+    # column of the cell's bearing: u = W/2 + fx * tan(phi), phi = atan2(-left, fwd)
+    col = jnp.round(w // 2 + fx * (-left) / jnp.maximum(fwd, 1e-6)).astype(jnp.int32)
+    inside = (fwd > 0.0) & (col >= 0) & (col < w)
+    col = jnp.clip(col, 0, w - 1)
+    rbin = jnp.round(radial * pps).astype(jnp.int32)
+    inside &= (rbin >= 0) & (rbin < _RADIAL_BINS)
+    rbin = jnp.clip(rbin, 0, _RADIAL_BINS - 1)
+    return inside & hist_d[col, rbin]

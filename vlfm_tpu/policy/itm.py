@@ -125,6 +125,7 @@ def step(
         min_height=cfg.min_obstacle_height,
         max_height=cfg.max_obstacle_height,
         area_thresh_m2=cfg.obstacle_map_area_threshold,
+        full_prune=(state.steps % 8) == 0,
         agent_radius=cfg.agent_radius,
         max_frontier_cells=cfg.max_frontier_cells,
         max_frontiers=cfg.max_frontiers,
