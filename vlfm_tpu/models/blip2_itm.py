@@ -119,27 +119,35 @@ class BLIP2ITM:
         )["params"]
         return cls(cfg, params)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def cosine(self, images, input_ids, attention_mask):
-        return self.module.apply(
-            {"params": self.params}, images, input_ids, attention_mask
-        )
+    # Params are passed as traced arguments (never captured through a static
+    # `self`) — capturing them embeds GBs of weights as XLA constants.
+    @staticmethod
+    @partial(jax.jit, static_argnames=("module",))
+    def _cosine(module, params, images, input_ids, attention_mask):
+        return module.apply({"params": params}, images, input_ids, attention_mask)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def encode_texts(self, input_ids, attention_mask):
-        return self.module.apply(
-            {"params": self.params},
-            input_ids,
-            attention_mask,
+    @staticmethod
+    @partial(jax.jit, static_argnames=("module",))
+    def _encode_texts(module, params, input_ids, attention_mask):
+        return module.apply(
+            {"params": params}, input_ids, attention_mask,
             method=BLIP2ITMModule.text_feats,
         )
 
-    @partial(jax.jit, static_argnames=("self",))
-    def cosine_cached_text(self, images, text_feats):
-        img = self.module.apply(
-            {"params": self.params}, images, method=BLIP2ITMModule.image_feats
-        )
+    @staticmethod
+    @partial(jax.jit, static_argnames=("module",))
+    def _cosine_cached(module, params, images, text_feats):
+        img = module.apply({"params": params}, images, method=BLIP2ITMModule.image_feats)
         return jnp.max(jnp.einsum("bqe,te->bqt", img, text_feats), axis=1)
+
+    def cosine(self, images, input_ids, attention_mask):
+        return self._cosine(self.module, self.params, images, input_ids, attention_mask)
+
+    def encode_texts(self, input_ids, attention_mask):
+        return self._encode_texts(self.module, self.params, input_ids, attention_mask)
+
+    def cosine_cached_text(self, images, text_feats):
+        return self._cosine_cached(self.module, self.params, images, text_feats)
 
     def preprocess(self, rgb_uint8: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) uint8 -> resized float [0, 1] at model resolution."""

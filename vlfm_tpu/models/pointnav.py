@@ -199,7 +199,6 @@ class PointNavPolicy:
         lstm = init_lstm_params(k3, 576)
         return {"trunk": trunk, "heads": heads, "lstm": lstm}
 
-    @partial(jax.jit, static_argnames=("self", "deterministic"))
     def act(
         self,
         depth: jnp.ndarray,  # (B, H, W, 1) normalized
@@ -209,29 +208,38 @@ class PointNavPolicy:
         deterministic: bool = True,
         rng: jnp.ndarray | None = None,
     ):
-        mask = state.not_done
-        feats = self._trunk.apply(
-            {"params": self.params["trunk"]}, depth, pointgoal, state.prev_action, mask
+        # Params are passed as traced args so they never become XLA constants.
+        return _pointnav_act(
+            self._trunk, self._heads, self.discrete, deterministic,
+            self.params, depth, pointgoal, state, rng,
         )
-        m = mask[None, :, :].astype(feats.dtype)  # (1, B, 1) broadcast over layers
-        h = state.h * m
-        c = state.c * m
-        out, h, c = lstm_step(self.params["lstm"], feats, h, c)
-        if self.discrete:
-            logits = self._heads.apply({"params": self.params["heads"]}, out)
-            if deterministic:
-                action = jnp.argmax(logits, axis=-1, keepdims=True)
-            else:
-                action = jax.random.categorical(rng, logits)[:, None]
-            prev = action.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("trunk", "heads", "discrete", "deterministic"))
+def _pointnav_act(trunk, heads, discrete, deterministic, params, depth, pointgoal, state, rng):
+    mask = state.not_done
+    feats = trunk.apply(
+        {"params": params["trunk"]}, depth, pointgoal, state.prev_action, mask
+    )
+    m = mask[None, :, :].astype(feats.dtype)  # (1, B, 1) broadcast over layers
+    h = state.h * m
+    c = state.c * m
+    out, h, c = lstm_step(params["lstm"], feats, h, c)
+    if discrete:
+        logits = heads.apply({"params": params["heads"]}, out)
+        if deterministic:
+            action = jnp.argmax(logits, axis=-1, keepdims=True)
         else:
-            mu, std = self._heads.apply({"params": self.params["heads"]}, out)
-            action = mu if deterministic else mu + std * jax.random.normal(rng, mu.shape)
-            prev = action
-        new_state = PointNavState(
-            h=h, c=c, prev_action=prev, not_done=jnp.ones_like(state.not_done)
-        )
-        return action, new_state
+            action = jax.random.categorical(rng, logits)[:, None]
+        prev = action.astype(jnp.float32)
+    else:
+        mu, std = heads.apply({"params": params["heads"]}, out)
+        action = mu if deterministic else mu + std * jax.random.normal(rng, mu.shape)
+        prev = action
+    new_state = PointNavState(
+        h=h, c=c, prev_action=prev, not_done=jnp.ones_like(state.not_done)
+    )
+    return action, new_state
 
 
 def reset_episodes(state: PointNavState, done: jnp.ndarray) -> PointNavState:

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from vlfm_tpu.config import VLFMConfig
+from vlfm_tpu.mapping import frontier_map as FM
 from vlfm_tpu.mapping import object_map as OBJ
 from vlfm_tpu.mapping import obstacle_map as OM
 from vlfm_tpu.mapping import value_map as VM
@@ -61,6 +62,7 @@ class PolicyState(NamedTuple):
     value: VM.ValueMapState
     objmap: OBJ.ObjectMapState
     acyclic: AC.AcyclicState
+    frontier_cache: FM.FrontierMapState  # V1 only (itm_policy.py:219-247)
 
 
 class StepInfo(NamedTuple):
@@ -87,6 +89,7 @@ def create_state(spec: GridSpec2D, cfg: VLFMConfig) -> PolicyState:
         value=VM.create(spec, cfg.value_channels),
         objmap=OBJ.create(cfg.object_map_slots, cfg.object_map_points_per_slot),
         acyclic=AC.create(),
+        frontier_cache=FM.create(cfg.max_frontiers * 2),
     )
 
 
@@ -181,15 +184,33 @@ def step(
     target_detected = OBJ.has_object(objmap)
     obj_goal, objmap = OBJ.get_best_object(objmap, obs.robot_xy)
 
-    # --- frontier scoring + selection (ITM V2/V3) --------------------------
-    radius_px = int(0.5 * spec.pixels_per_meter)
-    wvals = VM.waypoint_values(
-        value, spec, obstacle.frontiers_xy, obstacle.frontiers_valid, radius_px=radius_px
-    )  # (F, C)
-    if version == "v3":
-        fvalues = reduce_values_v3(wvals, obstacle.frontiers_valid, cfg.exploration_thresh)
+    # --- frontier scoring (V1: cached first-sight cosine; V2/V3: value-map
+    # median within 0.5 m) ---------------------------------------------------
+    frontier_cache = state.frontier_cache
+    if version == "v1":
+        frontier_cache = FM.update(
+            frontier_cache, obstacle.frontiers_xy, obstacle.frontiers_valid, cosines[0]
+        )
+        m = FM._matches(
+            frontier_cache.positions,
+            frontier_cache.valid,
+            obstacle.frontiers_xy,
+            obstacle.frontiers_valid,
+        )
+        fvalues = jnp.where(
+            m.any(axis=0), frontier_cache.cosines[jnp.argmax(m, axis=0)], -jnp.inf
+        )
     else:
-        fvalues = wvals[:, 0]
+        radius_px = int(0.5 * spec.pixels_per_meter)
+        wvals = VM.waypoint_values(
+            value, spec, obstacle.frontiers_xy, obstacle.frontiers_valid, radius_px=radius_px
+        )  # (F, C)
+        if version == "v3":
+            fvalues = reduce_values_v3(
+                wvals, obstacle.frontiers_valid, cfg.exploration_thresh
+            )
+        else:
+            fvalues = wvals[:, 0]
 
     choice = select_best_frontier(
         obstacle.frontiers_xy,
@@ -262,6 +283,7 @@ def step(
         acyclic=jax.tree_util.tree_map(
             lambda new, old: jnp.where(explore, new, old), choice.acyclic, state.acyclic
         ),
+        frontier_cache=frontier_cache,
     )
     info = StepInfo(
         mode=mode,
