@@ -1,0 +1,570 @@
+"""Promptable segmentation (SAM family) as batched XLA inference.
+
+Parity target: the reference's MobileSAM Flask server (vlfm/vlm/sam.py:24-57
+— ``segment_bbox(image, xyxy) -> bool mask``), one HTTP request per box.
+
+TPU redesign: the image is encoded ONCE per frame (the expensive part) and
+all candidate boxes decode in a single batched call (SAM's decoder natively
+batches prompts). Architecture and weight layout follow huggingface
+``SamModel`` (facebook/sam-vit-base etc.) so released checkpoints convert
+1:1; MobileSAM's TinyViT encoder is a drop-in alternative image encoder
+behind the same prompt/mask decoder (planned — the ViT-det encoder here is
+the reference implementation and is itself fast on TPU when batched).
+
+Pieces:
+- ViT-det image encoder: windowed attention with decomposed relative
+  positions (rel_pos_h/w), periodic global layers, conv+LN2d neck.
+- Prompt encoder: random-Fourier positional embedding; boxes become two
+  corner points with dedicated type embeddings.
+- Two-way transformer mask decoder with IoU head and hypernetwork MLPs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Mapping, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class SamVisionConfig:
+    image_size: int = 1024
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
+    out_channels: int = 256
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+@dataclass(frozen=True)
+class SamDecoderConfig:
+    hidden: int = 256
+    layers: int = 2
+    heads: int = 8
+    mlp_dim: int = 2048
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden: int = 256
+    downsample_rate: int = 2
+
+
+@dataclass(frozen=True)
+class SamConfig:
+    vision: SamVisionConfig = SamVisionConfig()
+    decoder: SamDecoderConfig = SamDecoderConfig()
+    pe_dim: int = 128  # half of prompt hidden
+
+    @staticmethod
+    def tiny() -> "SamConfig":
+        return SamConfig(
+            vision=SamVisionConfig(
+                image_size=64, patch_size=8, width=32, depth=2, heads=2,
+                mlp_dim=64, window_size=2, global_attn_indexes=(1,), out_channels=16,
+            ),
+            decoder=SamDecoderConfig(
+                hidden=16, layers=2, heads=2, mlp_dim=32,
+                iou_head_depth=2, iou_head_hidden=16,
+            ),
+            pe_dim=8,
+        )
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over NHWC feature maps (SAM's LayerNorm2d)."""
+
+    @nn.compact
+    def __call__(self, x):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        x = (x - mu) / jnp.sqrt(var + 1e-6)
+        w = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return x * w + b
+
+
+def _interp_rel_pos(rel_pos: jnp.ndarray, size: int) -> jnp.ndarray:
+    need = 2 * size - 1
+    if rel_pos.shape[0] == need:
+        return rel_pos
+    return jax.image.resize(rel_pos, (need, rel_pos.shape[1]), method="linear")
+
+
+def _decomposed_rel_pos_bias(q, rel_h, rel_w, hw):
+    """ViTDet relative position bias: (B*, H, q, q) additive logits.
+
+    q: (B*, heads, h*w, dim) reshaped per-axis contributions.
+    """
+    h, w = hw
+    rel_h = _interp_rel_pos(rel_h, h)
+    rel_w = _interp_rel_pos(rel_w, w)
+    idx = jnp.arange(h)[:, None] - jnp.arange(h)[None, :] + (h - 1)
+    rh = rel_h[idx]  # (h, h, dim)
+    idx = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
+    rw = rel_w[idx]  # (w, w, dim)
+    b, nh, _, dim = q.shape
+    qr = q.reshape(b, nh, h, w, dim)
+    bias_h = jnp.einsum("bnhwd,hkd->bnhwk", qr, rh)  # (b, nh, h, w, h)
+    bias_w = jnp.einsum("bnhwd,wkd->bnhwk", qr, rw)  # (b, nh, h, w, w)
+    bias = bias_h[..., :, None] + bias_w[..., None, :]  # (b, nh, h, w, h, w)
+    return bias.reshape(b, nh, h * w, h * w)
+
+
+class VitDetAttention(nn.Module):
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, hw):
+        b, l, d = x.shape
+        head_dim = d // self.heads
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_of(t):
+            return t.reshape(b, l, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_of(q), heads_of(k), heads_of(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(head_dim)
+        rel_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * hw[0] - 1, head_dim))
+        rel_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * hw[1] - 1, head_dim))
+        logits = logits + _decomposed_rel_pos_bias(q, rel_h, rel_w, hw)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return nn.Dense(d, name="proj")(out)
+
+
+def window_partition(x, ws):
+    b, h, w, c = x.shape
+    ph, pw = (ws - h % ws) % ws, (ws - w % ws) % ws
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = h + ph, w + pw
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws, ws, c), (hp, wp)
+
+
+def window_unpartition(win, ws, pad_hw, hw):
+    hp, wp = pad_hw
+    b = win.shape[0] // (hp // ws * wp // ws)
+    x = win.reshape(b, hp // ws, wp // ws, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, hp, wp, -1)
+    return x[:, : hw[0], : hw[1]]
+
+
+class VitDetBlock(nn.Module):
+    cfg: SamVisionConfig
+    is_global: bool
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        c = self.cfg
+        h, w = x.shape[1:3]
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-6, name="ln1")(x)
+        if self.is_global:
+            y = y.reshape(y.shape[0], h * w, -1)
+            y = VitDetAttention(c.heads, name="attn")(y, (h, w))
+            y = y.reshape(shortcut.shape)
+        else:
+            ws = c.window_size
+            win, pad_hw = window_partition(y, ws)
+            flat = win.reshape(win.shape[0], ws * ws, -1)
+            flat = VitDetAttention(c.heads, name="attn")(flat, (ws, ws))
+            y = window_unpartition(flat.reshape(-1, ws, ws, flat.shape[-1]), ws, pad_hw, (h, w))
+        x = shortcut + y
+        y = nn.LayerNorm(epsilon=1e-6, name="ln2")(x)
+        y = nn.Dense(c.mlp_dim, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(x.shape[-1], name="mlp_fc2")(y)
+        return x + y
+
+
+class SamVisionEncoder(nn.Module):
+    cfg: SamVisionConfig
+
+    @nn.compact
+    def __call__(self, images):  # (B, S, S, 3) normalized
+        c = self.cfg
+        x = nn.Conv(c.width, (c.patch_size, c.patch_size), strides=c.patch_size, name="patch_embed")(images)
+        pos = self.param("pos_embed", nn.initializers.zeros, (c.grid, c.grid, c.width))
+        x = x + pos[None]
+        for i in range(c.depth):
+            x = VitDetBlock(c, is_global=(i in c.global_attn_indexes), name=f"block{i}")(x)
+        x = nn.Conv(c.out_channels, (1, 1), use_bias=False, name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(c.out_channels, (3, 3), padding=1, use_bias=False, name="neck_conv2")(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x  # (B, grid, grid, out_channels)
+
+
+# ---------------------------------------------------------------------------
+# prompt encoder + positional embedding
+# ---------------------------------------------------------------------------
+class SamPositionalEmbedding(nn.Module):
+    pe_dim: int
+
+    @nn.compact
+    def __call__(self, coords01):  # (..., 2) in [0, 1]
+        g = self.param("gaussian", nn.initializers.normal(1.0), (2, self.pe_dim))
+        c = 2 * coords01 - 1
+        proj = (2 * jnp.pi) * (c @ g)
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class SamPromptEncoder(nn.Module):
+    """Box prompts only (the reference only ever prompts with boxes)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, pe: SamPositionalEmbedding, boxes01):  # (B, NB, 4) in [0, 1]
+        b, nb = boxes01.shape[:2]
+        corners = boxes01.reshape(b, nb, 2, 2)
+        emb = pe(corners)  # (B, NB, 2, hidden)
+        point_embed = self.param(
+            "point_embed", nn.initializers.normal(1.0), (4, self.hidden)
+        )
+        # corner types: top-left = label 2, bottom-right = label 3
+        emb = emb.at[:, :, 0, :].add(point_embed[2])
+        emb = emb.at[:, :, 1, :].add(point_embed[3])
+        return emb  # sparse embeddings (B, NB, 2, hidden)
+
+
+# ---------------------------------------------------------------------------
+# two-way transformer mask decoder
+# ---------------------------------------------------------------------------
+class DecoderAttention(nn.Module):
+    heads: int
+    internal_dim: int
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d = self.internal_dim
+        hq = nn.Dense(d, name="q_proj")(q)
+        hk = nn.Dense(d, name="k_proj")(k)
+        hv = nn.Dense(d, name="v_proj")(v)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.heads, d // self.heads).swapaxes(-3, -2)
+
+        a = jnp.einsum("...hqd,...hkd->...hqk", split(hq), split(hk)) / jnp.sqrt(d // self.heads)
+        p = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = jnp.einsum("...hqk,...hkd->...hqd", p, split(hv))
+        o = o.swapaxes(-3, -2).reshape(*q.shape[:-1], d)
+        return nn.Dense(q.shape[-1], name="out_proj")(o)
+
+
+class TwoWayBlock(nn.Module):
+    cfg: SamDecoderConfig
+    skip_first_layer_pe: bool
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        c = self.cfg
+        d = c.hidden
+        dd = d // c.downsample_rate
+        if self.skip_first_layer_pe:
+            queries = DecoderAttention(c.heads, d, name="self_attn")(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + DecoderAttention(c.heads, d, name="self_attn")(q, q, queries)
+        queries = nn.LayerNorm(epsilon=1e-6, name="ln1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + DecoderAttention(c.heads, dd, name="cross_t2i")(q, k, keys)
+        queries = nn.LayerNorm(epsilon=1e-6, name="ln2")(queries)
+
+        y = nn.Dense(c.mlp_dim, name="mlp_lin1")(queries)
+        y = nn.relu(y)
+        queries = queries + nn.Dense(d, name="mlp_lin2")(y)
+        queries = nn.LayerNorm(epsilon=1e-6, name="ln3")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + DecoderAttention(c.heads, dd, name="cross_i2t")(k, q, queries)
+        keys = nn.LayerNorm(epsilon=1e-6, name="ln4")(keys)
+        return queries, keys
+
+
+class SamFeedForward(nn.Module):
+    hidden: int
+    out: int
+    depth: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden, name="proj_in")(x))
+        for i in range(self.depth - 2):
+            x = nn.relu(nn.Dense(self.hidden, name=f"layer{i}")(x))
+        return nn.Dense(self.out, name="proj_out")(x)
+
+
+class SamMaskDecoder(nn.Module):
+    cfg: SamDecoderConfig
+
+    @nn.compact
+    def __call__(self, image_embed, image_pe, sparse_prompt):
+        """image_embed (B, G, G, D); sparse_prompt (B, NB, P, D).
+
+        Returns mask logits (B, NB, M, 4G, 4G) and iou scores (B, NB, M).
+        """
+        c = self.cfg
+        d = c.hidden
+        b, g1, g2, _ = image_embed.shape
+        nb = sparse_prompt.shape[1]
+        m = c.num_multimask_outputs + 1
+
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0), (1, d))
+        mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0), (m, d))
+        out_tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)  # (M+1, d)
+        tokens = jnp.broadcast_to(out_tokens[None, None], (b, nb, m + 1, d))
+        tokens = jnp.concatenate([tokens, sparse_prompt], axis=2)  # (B, NB, T, d)
+
+        src = image_embed.reshape(b, 1, g1 * g2, d).repeat(nb, axis=1)
+        pos = image_pe.reshape(1, 1, g1 * g2, d)
+        pos = jnp.broadcast_to(pos, src.shape)
+
+        q, k = tokens, src
+        for i in range(c.layers):
+            q, k = TwoWayBlock(c, skip_first_layer_pe=(i == 0), name=f"layer{i}")(
+                q, k, tokens, pos
+            )
+        qf = q + tokens
+        attn = DecoderAttention(c.heads, d // c.downsample_rate, name="final_t2i")(
+            qf, k + pos, k
+        )
+        q = nn.LayerNorm(epsilon=1e-6, name="ln_final")(q + attn)
+
+        iou_out = q[:, :, 0]
+        mask_out = q[:, :, 1 : m + 1]  # (B, NB, M, d)
+
+        img = k.reshape(b * nb, g1, g2, d)
+        up = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), name="upscale_conv1")(img)
+        up = LayerNorm2d(name="upscale_ln")(up)
+        up = nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), name="upscale_conv2")(up)
+        up = nn.gelu(up, approximate=False)  # (B*NB, 4G, 4G, d/8)
+
+        hyper = jnp.stack(
+            [
+                SamFeedForward(d, d // 8, 3, name=f"hyper{i}")(mask_out[:, :, i])
+                for i in range(m)
+            ],
+            axis=2,
+        )  # (B, NB, M, d/8)
+        up = up.reshape(b, nb, 4 * g1, 4 * g2, d // 8)
+        masks = jnp.einsum("bnmc,bnhwc->bnmhw", hyper, up)
+        iou = SamFeedForward(c.iou_head_hidden, m, c.iou_head_depth, name="iou_head")(iou_out)
+        return masks, iou
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+SAM_MEAN = (123.675, 116.28, 103.53)
+SAM_STD = (58.395, 57.12, 57.375)
+
+
+class SamModule(nn.Module):
+    cfg: SamConfig
+
+    def setup(self):
+        self.vision = SamVisionEncoder(self.cfg.vision, name="vision")
+        self.pe = SamPositionalEmbedding(self.cfg.pe_dim, name="shared_pe")
+        self.prompt = SamPromptEncoder(self.cfg.decoder.hidden, name="prompt")
+        self.decoder = SamMaskDecoder(self.cfg.decoder, name="decoder")
+        # dense prompt used when no mask input is given (prompt_encoder.no_mask_embed)
+        self.no_mask_embed = self.param(
+            "no_mask_embed", nn.initializers.normal(1.0), (self.cfg.decoder.hidden,)
+        )
+
+    def encode_image(self, images_uint8f):  # (B, S, S, 3) raw 0..255 floats
+        mean = jnp.asarray(SAM_MEAN, images_uint8f.dtype)
+        std = jnp.asarray(SAM_STD, images_uint8f.dtype)
+        return self.vision((images_uint8f - mean) / std)
+
+    def image_pe(self):
+        g = self.cfg.vision.grid
+        coords = (jnp.stack(
+            jnp.meshgrid(jnp.arange(g), jnp.arange(g), indexing="ij"), axis=-1
+        ).astype(jnp.float32) + 0.5) / g
+        # (row, col) -> PE expects (x, y): flip to (col, row)
+        return self.pe(coords[..., ::-1])
+
+    def decode_boxes(self, image_embed, boxes01):
+        sparse = self.prompt(self.pe, boxes01)
+        src = image_embed + self.no_mask_embed
+        return self.decoder(src, self.image_pe(), sparse)
+
+    def __call__(self, images, boxes01):
+        emb = self.encode_image(images)
+        return self.decode_boxes(emb, boxes01)
+
+
+class SAM:
+    """Stateful wrapper: encode once per frame, decode many boxes."""
+
+    def __init__(self, cfg: SamConfig, params: Dict[str, Any]):
+        self.cfg = cfg
+        self.params = params
+        self.module = SamModule(cfg)
+
+    @classmethod
+    def init_random(cls, cfg: SamConfig, seed: int = 0) -> "SAM":
+        mod = SamModule(cfg)
+        s = cfg.vision.image_size
+        params = mod.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, s, s, 3)),
+            jnp.zeros((1, 1, 4)),
+        )["params"]
+        return cls(cfg, params)
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("module",))
+    def _segment(module, params, images, boxes01):
+        masks, iou = module.apply({"params": params}, images, boxes01)
+        return masks, iou
+
+    def segment_boxes(self, images, boxes01, multimask_output: bool = False):
+        """(B,S,S,3) 0..255 floats + (B,NB,4) boxes in [0,1] -> bool masks
+        (B, NB, 4G, 4G) at quarter input resolution, plus iou scores.
+
+        multimask_output=False selects mask token 0 like the reference
+        (sam.py:55, SamPredictor.predict(multimask_output=False)).
+        """
+        masks, iou = self._segment(self.module, self.params, images, boxes01)
+        if multimask_output:
+            best = jnp.argmax(iou[..., 1:], axis=-1) + 1
+            sel = jnp.take_along_axis(masks, best[..., None, None, None], axis=2)[:, :, 0]
+        else:
+            sel = masks[:, :, 0]
+        return sel > 0.0, iou
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint conversion (facebook/sam-vit-* layout)
+# ---------------------------------------------------------------------------
+def _lin(sd, name):
+    return {"kernel": jnp.asarray(np.asarray(sd[f"{name}.weight"]).T),
+            "bias": jnp.asarray(np.asarray(sd[f"{name}.bias"]))}
+
+
+def _lnp(sd, name):
+    return {"scale": jnp.asarray(np.asarray(sd[f"{name}.weight"])),
+            "bias": jnp.asarray(np.asarray(sd[f"{name}.bias"]))}
+
+
+def _conv(sd, name, bias=True):
+    out = {"kernel": jnp.asarray(np.asarray(sd[f"{name}.weight"]).transpose(2, 3, 1, 0))}
+    if bias and f"{name}.bias" in sd:
+        out["bias"] = jnp.asarray(np.asarray(sd[f"{name}.bias"]))
+    return out
+
+
+def _convT(sd, name):
+    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in, out)
+    return {"kernel": jnp.asarray(np.asarray(sd[f"{name}.weight"]).transpose(2, 3, 0, 1)),
+            "bias": jnp.asarray(np.asarray(sd[f"{name}.bias"]))}
+
+
+def _dec_attn(sd, name):
+    return {
+        "q_proj": _lin(sd, f"{name}.q_proj"),
+        "k_proj": _lin(sd, f"{name}.k_proj"),
+        "v_proj": _lin(sd, f"{name}.v_proj"),
+        "out_proj": _lin(sd, f"{name}.out_proj"),
+    }
+
+
+def convert_hf_sam(sd: Mapping[str, Any], cfg: SamConfig) -> Dict[str, Any]:
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    vis: Dict[str, Any] = {
+        "patch_embed": _conv(sd, "vision_encoder.patch_embed.projection"),
+        "pos_embed": jnp.asarray(sd["vision_encoder.pos_embed"][0]),
+        "neck_conv1": _conv(sd, "vision_encoder.neck.conv1", bias=False),
+        "neck_ln1": _lnp(sd, "vision_encoder.neck.layer_norm1"),
+        "neck_conv2": _conv(sd, "vision_encoder.neck.conv2", bias=False),
+        "neck_ln2": _lnp(sd, "vision_encoder.neck.layer_norm2"),
+    }
+    for i in range(cfg.vision.depth):
+        p = f"vision_encoder.layers.{i}"
+        vis[f"block{i}"] = {
+            "ln1": _lnp(sd, f"{p}.layer_norm1"),
+            "ln2": _lnp(sd, f"{p}.layer_norm2"),
+            "attn": {
+                "qkv": _lin(sd, f"{p}.attn.qkv"),
+                "proj": _lin(sd, f"{p}.attn.proj"),
+                "rel_pos_h": jnp.asarray(sd[f"{p}.attn.rel_pos_h"]),
+                "rel_pos_w": jnp.asarray(sd[f"{p}.attn.rel_pos_w"]),
+            },
+            "mlp_fc1": _lin(sd, f"{p}.mlp.lin1"),
+            "mlp_fc2": _lin(sd, f"{p}.mlp.lin2"),
+        }
+
+    dec: Dict[str, Any] = {
+        "iou_token": jnp.asarray(sd["mask_decoder.iou_token.weight"]),
+        "mask_tokens": jnp.asarray(sd["mask_decoder.mask_tokens.weight"]),
+        "final_t2i": _dec_attn(sd, "mask_decoder.transformer.final_attn_token_to_image"),
+        "ln_final": _lnp(sd, "mask_decoder.transformer.layer_norm_final_attn"),
+        "upscale_conv1": _convT(sd, "mask_decoder.upscale_conv1"),
+        "upscale_ln": _lnp(sd, "mask_decoder.upscale_layer_norm"),
+        "upscale_conv2": _convT(sd, "mask_decoder.upscale_conv2"),
+        "iou_head": {
+            "proj_in": _lin(sd, "mask_decoder.iou_prediction_head.proj_in"),
+            "proj_out": _lin(sd, "mask_decoder.iou_prediction_head.proj_out"),
+        },
+    }
+    for j in range(cfg.decoder.iou_head_depth - 2):
+        dec["iou_head"][f"layer{j}"] = _lin(sd, f"mask_decoder.iou_prediction_head.layers.{j}")
+    for i in range(cfg.decoder.num_multimask_outputs + 1):
+        h = {
+            "proj_in": _lin(sd, f"mask_decoder.output_hypernetworks_mlps.{i}.proj_in"),
+            "proj_out": _lin(sd, f"mask_decoder.output_hypernetworks_mlps.{i}.proj_out"),
+        }
+        h["layer0"] = _lin(sd, f"mask_decoder.output_hypernetworks_mlps.{i}.layers.0")
+        dec[f"hyper{i}"] = h
+    for i in range(cfg.decoder.layers):
+        p = f"mask_decoder.transformer.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": _dec_attn(sd, f"{p}.self_attn"),
+            "ln1": _lnp(sd, f"{p}.layer_norm1"),
+            "cross_t2i": _dec_attn(sd, f"{p}.cross_attn_token_to_image"),
+            "ln2": _lnp(sd, f"{p}.layer_norm2"),
+            "mlp_lin1": _lin(sd, f"{p}.mlp.lin1"),
+            "mlp_lin2": _lin(sd, f"{p}.mlp.lin2"),
+            "ln3": _lnp(sd, f"{p}.layer_norm3"),
+            "cross_i2t": _dec_attn(sd, f"{p}.cross_attn_image_to_token"),
+            "ln4": _lnp(sd, f"{p}.layer_norm4"),
+        }
+
+    point_embed = np.concatenate(
+        [sd[f"prompt_encoder.point_embed.{i}.weight"] for i in range(4)], axis=0
+    )
+    return {
+        "vision": vis,
+        "decoder": dec,
+        "prompt": {"point_embed": jnp.asarray(point_embed)},
+        "no_mask_embed": jnp.asarray(sd["prompt_encoder.no_mask_embed.weight"][0]),
+        "shared_pe": {
+            "gaussian": jnp.asarray(sd["shared_image_embedding.positional_embedding"])
+        },
+    }
