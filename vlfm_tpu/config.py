@@ -98,9 +98,9 @@ def load_config(path_or_dict) -> VLFMConfig:
         if str(path_or_dict).endswith((".yaml", ".yml")):
             import yaml
 
-            d = yaml.safe_load(text)
+            d = yaml.safe_load(text) or {}
         else:
-            d = json.loads(text)
+            d = json.loads(text) if text.strip() else {}
     cam = d.pop("camera", None)
     names = {f.name for f in dataclasses.fields(VLFMConfig)}
     unknown = set(d) - names

