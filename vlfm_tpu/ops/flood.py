@@ -22,14 +22,23 @@ from vlfm_tpu.ops.morphology import dilate
 
 @partial(jax.jit, static_argnames=("max_iters", "check_every"))
 def flood_from_seed(
-    mask: jnp.ndarray, seed: jnp.ndarray, max_iters: int = 1024, check_every: int = 8
+    mask: jnp.ndarray, seed: jnp.ndarray, max_iters: int = 1024, check_every: int = 16
 ) -> jnp.ndarray:
     """Pixels of ``mask`` 8-connected to ``seed`` (both bool, same shape).
 
-    Runs dilate-and-intersect to convergence (bounded by ``max_iters``). The
-    convergence reduction only runs every ``check_every`` dilations — between
-    checks the iteration is a pure elementwise pipeline XLA can fuse.
+    Runs dilate-and-intersect to convergence (bounded by ``max_iters``).
+    When the column count is a multiple of 32 the propagation runs bit-packed
+    (32 columns per uint32 word — see vlfm_tpu.ops.bitpack); the convergence
+    reduction only fires every ``check_every`` sweeps.
     """
+    from vlfm_tpu.ops.bitpack import flood_packed, pack_cols, unpack_cols
+
+    if mask.shape[1] % 32 == 0:
+        out_p = flood_packed(
+            pack_cols(mask), pack_cols(seed), max_iters=max_iters, check_every=check_every
+        )
+        return unpack_cols(out_p, mask.shape[1])
+
     seed = seed & mask
 
     def cond(carry):

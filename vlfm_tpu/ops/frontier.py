@@ -74,8 +74,22 @@ def detect_frontiers(
     max_frontiers: int = 32,
     coarse_factor: int = 4,
 ) -> Frontiers:
-    explored_d = dilate(explored, 5)
-    unexplored = navigable & ~explored_d
+    from vlfm_tpu.ops.bitpack import (
+        dilate8_packed,
+        first_set_bits_packed,
+        pack_cols,
+        unpack_cols,
+    )
+
+    packed_ok = explored.shape[1] % 32 == 0
+    if packed_ok:
+        expl_p = pack_cols(explored)
+        expl_d_p = dilate8_packed(dilate8_packed(expl_p))  # 5x5
+        un_p = pack_cols(navigable) & ~expl_d_p
+        unexplored = unpack_cols(un_p, explored.shape[1])
+    else:
+        explored_d = dilate(explored, 5)
+        unexplored = navigable & ~explored_d
     # max_iters bounds the coarse labeling: pockets below any realistic area
     # threshold converge within ~thresh/factor^2 iterations; unconverged
     # (necessarily large) regions split into pieces each bigger than that.
@@ -83,15 +97,21 @@ def detect_frontiers(
         unexplored,
         jnp.asarray(area_thresh_px, jnp.float32),
         factor=coarse_factor,
-        max_iters=64,
+        max_iters=48,
     )
 
-    frontier_mask = unexplored & dilate(explored_d, 3)
-
-    rows, cols, valid = first_nonzero_coords(frontier_mask, max_cells)
+    if packed_ok:
+        frontier_p = pack_cols(unexplored) & dilate8_packed(expl_d_p)
+        rows, cols, valid = first_set_bits_packed(frontier_p, max_cells)
+        n_frontier = jax.lax.population_count(frontier_p).sum()
+    else:
+        explored_d = dilate(explored, 5)
+        frontier_mask = unexplored & dilate(explored_d, 3)
+        rows, cols, valid = first_nonzero_coords(frontier_mask, max_cells)
+        n_frontier = frontier_mask.sum()
     coords = jnp.stack([rows, cols], axis=-1).astype(jnp.int32)
     coords = jnp.where(valid[:, None], coords, -1)
-    overflow = frontier_mask.sum() > max_cells
+    overflow = n_frontier > max_cells
 
     # ceil(log2(max_cells)) squarings give full closure for any diameter
     steps = max(1, (max_cells - 1).bit_length())
