@@ -59,6 +59,97 @@ def _masks_from_env(o, cfg: VLFMConfig):
     return jnp.asarray(masks), jnp.asarray(valid)
 
 
+def run_episodes_batched(
+    envs: List[FakeObjectNavEnv],
+    pointnav,
+    spec: GridSpec2D,
+    cfg: VLFMConfig,
+    *,
+    version: str = "v2",
+    max_steps: Optional[int] = None,
+    seed: int = 0,
+):
+    """Run N episodes in lockstep as ONE vmapped device program per step.
+
+    This is the throughput configuration the reference cannot express (its
+    policy asserts a single env, base_objectnav_policy.py:153): per-episode
+    map state lives batched in HBM; the host only stacks observations and
+    scatters actions. Finished episodes idle (their actions are ignored)
+    until the whole batch drains.
+
+    Returns (results, DriverStats) where stats counts ACTIVE env steps.
+    """
+    batch = len(envs)
+    limit = max_steps or envs[0].cfg.max_steps
+    base = itm.create_state(spec, cfg)
+    bstate = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch, *x.shape)).copy(), base
+    )
+    k = cfg.max_detections_per_frame
+
+    def one(state, obs, cosines, masks, valid, rng):
+        return itm.step(
+            state, obs, cosines, masks, valid, rng,
+            pointnav=pointnav, spec=spec, cfg=cfg, version=version,
+        )
+
+    step_fn = jax.jit(jax.vmap(one))
+
+    obs_list = [e.reset() for e in envs]
+    shortest = [e.shortest_path_length() for e in envs]
+    target_seen = [False] * batch
+    target_detected = [False] * batch
+    rng = jax.random.PRNGKey(seed)
+    stats = DriverStats()
+    t0 = time.time()
+
+    while not all(o["done"] for o in obs_list):
+        stacked_obs = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[_obs_from_env(o, cfg) for o in obs_list]
+        )
+        masks_np = np.zeros((batch, k, *obs_list[0]["depth"].shape), bool)
+        valid_np = np.zeros((batch, k), bool)
+        cos_np = np.zeros((batch, cfg.value_channels), np.float32)
+        for i, o in enumerate(obs_list):
+            cos_np[i] = o["cosine"]
+            if o["target_visible"]:
+                masks_np[i, 0] = o["target_mask"]
+                valid_np[i, 0] = True
+        rng, sub = jax.random.split(rng)
+        subs = jax.random.split(sub, batch)
+        actions, infos, bstate = step_fn(
+            bstate, stacked_obs, jnp.asarray(cos_np), jnp.asarray(masks_np),
+            jnp.asarray(valid_np), subs,
+        )
+        actions_np = np.asarray(actions)
+        detected_np = np.asarray(infos.target_detected)
+        for i, (env, o) in enumerate(zip(envs, obs_list)):
+            if o["done"]:
+                continue
+            target_seen[i] = target_seen[i] or o["target_visible"]
+            target_detected[i] = target_detected[i] or bool(detected_np[i])
+            obs_list[i] = env.step(int(actions_np[i]))
+            stats.env_steps += 1
+    stats.wall_time = time.time() - t0
+
+    results = [
+        M.compute_result(
+            called_stop=e.called_stop,
+            distance_to_goal=o["distance_to_goal"],
+            success_radius=e.cfg.success_radius,
+            shortest_path=shortest[i],
+            path_length=e.path_length,
+            steps=e.steps,
+            max_steps=limit,
+            target_detected=target_detected[i],
+            target_seen=target_seen[i],
+            collisions=e.collisions,
+        )
+        for i, (e, o) in enumerate(zip(envs, obs_list))
+    ]
+    return results, stats
+
+
 def run_episode(
     env: FakeObjectNavEnv,
     pointnav: PointNavPolicy,
