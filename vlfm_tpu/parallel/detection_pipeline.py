@@ -20,13 +20,13 @@ Outputs fixed-capacity (B, K, H, W) masks + validity for the policy step.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vlfm_tpu.models.coco_classes import COCO_CLASSES, is_coco_target
+from vlfm_tpu.models.coco_classes import is_coco_target
 from vlfm_tpu.models.owl_vit import OwlViTDetector, top_detections
 from vlfm_tpu.models.sam import SAM
 

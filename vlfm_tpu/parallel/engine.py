@@ -15,7 +15,7 @@ and cached (the reference re-sends the prompt text every step).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

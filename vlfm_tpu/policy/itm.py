@@ -37,7 +37,7 @@ from vlfm_tpu.mapping.grid import GridSpec2D
 from vlfm_tpu.models.pointnav import PointNavPolicy, PointNavState, initial_state
 from vlfm_tpu.policy import acyclic as AC
 from vlfm_tpu.policy.frontier_selection import reduce_values_v3, select_best_frontier
-from vlfm_tpu.utils.geometry import extract_yaw, rho_theta
+from vlfm_tpu.utils.geometry import rho_theta
 from vlfm_tpu.utils.img import resize_area
 
 STOP, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT = 0, 1, 2, 3  # habitat_policies.py:54-58

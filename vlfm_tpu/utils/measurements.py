@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import List
 
-import numpy as np
-
 STAIR_PEAK_TO_PEAK_M = 0.9
 
 
