@@ -61,12 +61,15 @@ def test_multiprocess_producers():
     records = []
     import time
 
-    deadline = time.time() + 30
+    # generous deadline: spawned children re-import numpy/ctypes and the
+    # machine may be under full-suite load
+    deadline = time.time() + 120
     while len(records) < n_workers * per and time.time() < deadline:
         records.extend(ring.poll_batch(max_records=256))
         time.sleep(0.01)
     for p in procs:
-        p.join(timeout=10)
+        p.join(timeout=30)
+        assert p.exitcode == 0, f"producer crashed with {p.exitcode}"
     assert len(records) == n_workers * per
     # tickets unique & every payload intact
     tickets = [t for t, _ in records]

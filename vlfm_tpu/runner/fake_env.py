@@ -192,6 +192,14 @@ class FakeObjectNavEnv:
                 mask[max(0, vt) : min(c.height, vb + 1), col] = True
 
         target_visible = bool(mask.any())
+        # synthetic RGB: shaded walls from depth, the target painted red —
+        # enough signal for the real perception stack to run end-to-end
+        gray = ((1.0 - norm) * 200 + 30).astype(np.uint8)
+        rgb = np.repeat(
+            np.repeat(gray[None, :, None], c.height, axis=0), 3, axis=2
+        )
+        rgb[mask] = (220, 40, 40)
+
         # distance to the object's surface, not its centre (habitat ObjectNav
         # success is viewpoint-based, i.e. effectively surface-based)
         dist = max(
@@ -205,6 +213,7 @@ class FakeObjectNavEnv:
 
         return {
             "depth": depth,
+            "rgb": rgb,
             "target_mask": mask,
             "target_visible": target_visible,
             "cosine": float(cosine),
