@@ -780,3 +780,73 @@ def convert_hf_grounding_dino(sd: Mapping[str, Any], cfg: GroundingDinoJaxConfig
         }
         p[f"dec_bbox{i}"] = _mlp_head(sd, f"model.decoder.bbox_embed.{i}", 3)
     return p
+
+
+# ---------------------------------------------------------------------------
+# detection-pipeline adapter
+# ---------------------------------------------------------------------------
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def build_caption_ids(class_token_ids: List[np.ndarray], max_len: int):
+    """Join per-class token id sequences into one GroundingDINO caption:
+    [CLS] c1 . c2 . ... [SEP] (the reference's " . "-joined caption,
+    grounding_dino.py:70-73). Returns (ids (1, L), mask (1, L), spans) where
+    spans[c] = (start, end) token range of class c."""
+    ids = [101]
+    spans = []
+    for toks in class_token_ids:
+        start = len(ids)
+        ids.extend(int(t) for t in toks)
+        spans.append((start, len(ids)))
+        ids.append(1012)  # '.'
+    ids.append(102)
+    ids = ids[:max_len]
+    out = np.zeros((1, max_len), np.int64)
+    out[0, : len(ids)] = ids
+    mask = np.zeros((1, max_len), bool)
+    mask[0, : len(ids)] = True
+    return out, mask, spans
+
+
+class GroundingDinoQueryAdapter:
+    """Plugs the faithful GroundingDINO into DetectionPipeline (the same
+    preprocess/detect surface as the OWL-ViT detector): class names become
+    one joint caption; per-class logits are the max over each class's token
+    span, matching the reference's exact-phrase filtering semantics."""
+
+    def __init__(self, detector: "GroundingDinoDetector", image_size: int = 800):
+        self.detector = detector
+        self.image_size = image_size
+        self._spans: List[Tuple[int, int]] = []
+
+    def make_query_encoder(self, tokenize_class):
+        """Returns an encode_queries callable for DetectionPipeline.
+        ``tokenize_class(name) -> token id array`` (WordPiece, no specials)."""
+
+        def encode(names):
+            toks = [np.asarray(tokenize_class(n)) for n in names]
+            ids, mask, spans = build_caption_ids(toks, self.detector.cfg.max_text_len)
+            self._spans = spans
+            return ids, mask
+
+        return encode
+
+    def preprocess(self, rgb_uint8):
+        s = self.image_size
+        x = rgb_uint8.astype(jnp.float32) / 255.0
+        x = jax.image.resize(x, (x.shape[0], s, s, 3), method="linear")
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        return (x - mean) / std
+
+    def detect(self, images, input_ids, attention_mask):
+        """-> (boxes cxcywh (B, Q, 4), per-class logits (B, Q, C))."""
+        logits, boxes = self.detector.predict(
+            images, np.asarray(jax.device_get(input_ids)), np.asarray(jax.device_get(attention_mask))
+        )
+        per_class = [
+            jnp.max(logits[..., s:e], axis=-1) for (s, e) in self._spans
+        ]
+        return boxes, jnp.stack(per_class, axis=-1)
