@@ -69,6 +69,10 @@ class VLFMConfig:
     non_coco_threshold: float = 0.4
     agent_radius: float = 0.18
 
+    # Value-map fusion ablations (reference: MAP_FUSION_TYPE env,
+    # value_map.py:74-75): "default" | "replace" | "equal_weighting".
+    map_fusion_type: str = "default"
+
     # --- TPU-framework extensions (not in the reference) ---
     camera: CameraConfig = field(default_factory=CameraConfig)
     map_size: int = 1024
@@ -109,4 +113,8 @@ def load_config(path_or_dict) -> VLFMConfig:
     cfg = VLFMConfig(**d)
     if cam is not None:
         cfg = dataclasses.replace(cfg, camera=CameraConfig(**cam))
+    import os
+
+    if os.environ.get("MAP_FUSION_TYPE"):
+        cfg = dataclasses.replace(cfg, map_fusion_type=os.environ["MAP_FUSION_TYPE"])
     return cfg

@@ -135,6 +135,8 @@ def step(
     )
 
     # --- value map (itm_policy.py:191-211) ---------------------------------
+    fusion = {"default": VM.FUSION_DEFAULT, "replace": VM.FUSION_REPLACE,
+              "equal_weighting": VM.FUSION_EQUAL_WEIGHTING}[cfg.map_fusion_type]
     value = VM.update(
         state.value,
         spec,
@@ -145,6 +147,7 @@ def step(
         cam.max_depth,
         cam.hfov,
         use_max_confidence=cfg.use_max_confidence,
+        fusion_type=fusion,
         explored=obstacle.explored if cfg.sync_explored_areas else None,
     )
 
