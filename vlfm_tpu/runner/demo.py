@@ -27,6 +27,12 @@ def main() -> None:
         "checkpoint is converted); 'greedy' is the deterministic rho-theta "
         "controller",
     )
+    parser.add_argument(
+        "--save-dir",
+        default=None,
+        help="write per-episode obstacle/value map renders and a composed "
+        "frame to this directory",
+    )
     args = parser.parse_args()
 
     import jax
@@ -67,7 +73,53 @@ def main() -> None:
     results = []
     for ep in range(args.episodes):
         env = FakeObjectNavEnv(make_plan(seed=ep), env_cfg)
-        result, stats = run_episode(env, pointnav, spec, cfg, seed=ep)
+        trail = []
+        last = {}
+
+        def on_step(env_, o, info, _trail=trail, _last=last):
+            _trail.append(np.array([env_.x, env_.y]))
+            _last["obs"] = o
+            _last["yaw"] = env_.yaw
+
+        import numpy as np
+
+        result, stats = run_episode(
+            env, pointnav, spec, cfg, seed=ep,
+            on_step=on_step if args.save_dir else None,
+            keep_state=bool(args.save_dir),
+        )
+        if args.save_dir:
+            import os
+
+            import cv2
+
+            from vlfm_tpu.utils import visualization as VIS
+
+            os.makedirs(args.save_dir, exist_ok=True)
+            st = stats.final_state
+            traj = VIS.TrajectoryVisualizer(spec)
+            om = VIS.render_obstacle_map(
+                np.asarray(spec.crop_logical(st.obstacle.obstacles)),
+                np.asarray(spec.crop_logical(st.obstacle.navigable)),
+                np.asarray(spec.crop_logical(st.obstacle.explored)),
+                np.asarray(spec.xy_to_px(st.obstacle.frontiers_xy))[
+                    np.asarray(st.obstacle.frontiers_valid)
+                ],
+                traj=traj, positions=trail, yaw=last.get("yaw", 0.0),
+            )
+            vm = VIS.render_value_map(
+                np.asarray(spec.crop_logical(st.value.values))[..., 0],
+                spec, traj=traj, positions=trail, yaw=last.get("yaw", 0.0),
+            )
+            cv2.imwrite(f"{args.save_dir}/ep{ep}_obstacle_map.png", om)
+            cv2.imwrite(f"{args.save_dir}/ep{ep}_value_map.png", vm)
+            o = last["obs"]
+            frame = VIS.compose_frame(
+                o["rgb"][..., ::-1].copy(), o["depth"],
+                [om, vm],
+                texts=[f"episode {ep} | success={result.success} spl={result.spl:.2f}"],
+            )
+            cv2.imwrite(f"{args.save_dir}/ep{ep}_frame.png", frame)
         results.append(result)
         print(
             f"episode {ep}: success={result.success} spl={result.spl:.3f} "

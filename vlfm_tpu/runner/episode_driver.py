@@ -32,6 +32,7 @@ from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 class DriverStats:
     env_steps: int = 0
     wall_time: float = 0.0
+    final_state: object = None  # set when run_episode(keep_state=True)
 
     @property
     def steps_per_sec(self) -> float:
@@ -160,6 +161,7 @@ def run_episode(
     max_steps: Optional[int] = None,
     seed: int = 0,
     on_step: Optional[Callable] = None,
+    keep_state: bool = False,
 ) -> tuple:
     """Run one episode to completion. Returns (EpisodeResult, DriverStats)."""
     o = env.reset()
@@ -195,6 +197,8 @@ def run_episode(
         o = env.step(int(action))
         stats.env_steps += 1
     stats.wall_time = time.time() - t0
+    if keep_state:
+        stats.final_state = state
 
     result = M.compute_result(
         called_stop=env.called_stop,
