@@ -125,7 +125,7 @@ def bench_tpu_pipeline(batch: int = 16, horizon: int = 12) -> float:
     from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
     cfg = VLFMConfig()  # full 640x480 reference workload
-    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=128)
+    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=160)
     pn = PointNavPolicy({}, discrete=True)
     params = pn.init_params(jax.random.PRNGKey(0), depth_shape=tuple(cfg.depth_image_shape))
     pointnav = PointNavPolicy(params, discrete=True)

@@ -50,7 +50,7 @@ def test_habitat_adapter_builds_observation():
 
 def test_habitat_agent_full_loop():
     cfg = VLFMConfig(camera=CameraConfig(height=48, width=64))
-    spec = GridSpec2D(size=256, pixels_per_meter=20, pad=128)
+    spec = GridSpec2D(size=256, pixels_per_meter=20, pad=160)
 
     def perceive(rgb, target):
         k = cfg.max_detections_per_frame

@@ -41,7 +41,7 @@ def test_batched_matches_single_episode():
     from vlfm_tpu.mapping.grid import GridSpec2D
 
     cfg = VLFMConfig(camera=CameraConfig(height=96, width=128))
-    spec = GridSpec2D(size=512, pixels_per_meter=20, pad=128)
+    spec = GridSpec2D(size=512, pixels_per_meter=20, pad=160)
     env_cfg = EnvConfig(width=128, height=96, max_steps=80)
     envs = [FakeObjectNavEnv(open_room_plan(seed=s), env_cfg) for s in range(2)]
     results, stats = run_episodes_batched(envs, "greedy", spec, cfg, seed=0)

@@ -138,7 +138,7 @@ class TestValueMapIO:
         from vlfm_tpu.mapping.value_map_io import ValueMapRecorder, replay
         from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
-        spec = GridSpec2D(size=256, pixels_per_meter=20, pad=128)
+        spec = GridSpec2D(size=256, pixels_per_meter=20, pad=160)
         rec = ValueMapRecorder(str(tmp_path), kwargs={"value_channels": 1})
         state = VM.create(spec, 1)
         rng = np.random.default_rng(0)

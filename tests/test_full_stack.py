@@ -7,7 +7,7 @@ from vlfm_tpu.runner.full_stack import FullStackPerception, run_full_stack_episo
 def test_full_stack_episode_composes():
     """Every model family (ITM, detector, SAM) + maps + policy in one loop."""
     cfg = VLFMConfig(camera=CameraConfig(height=96, width=128))
-    spec = GridSpec2D(size=512, pixels_per_meter=20, pad=128)
+    spec = GridSpec2D(size=512, pixels_per_meter=20, pad=160)
     env = FakeObjectNavEnv(
         open_room_plan(seed=0), EnvConfig(width=128, height=96, max_steps=16)
     )

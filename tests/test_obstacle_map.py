@@ -15,7 +15,7 @@ from vlfm_tpu.ops.fog_of_war import reveal_fog_of_war_window
 from vlfm_tpu.ops.frontier import detect_frontiers
 from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
-SPEC = GridSpec2D(size=256, pixels_per_meter=20, pad=128)
+SPEC = GridSpec2D(size=256, pixels_per_meter=20, pad=160)
 FOV = np.deg2rad(79)
 MIN_D, MAX_D = 0.5, 5.0
 FX = FY = 640 / (2 * np.tan(FOV / 2))

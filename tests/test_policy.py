@@ -93,7 +93,7 @@ class TestFrontierSelection:
         assert np.allclose(np.asarray(out), [0.1, 0.2])
 
 
-SPEC = GridSpec2D(size=256, pixels_per_meter=20, pad=128)
+SPEC = GridSpec2D(size=256, pixels_per_meter=20, pad=160)
 CFG = VLFMConfig(camera=CameraConfig(height=120, width=160))
 MIN_D, MAX_D = CFG.camera.min_depth, CFG.camera.max_depth
 

@@ -18,7 +18,7 @@ from vlfm_tpu.runner.fake_env import EnvConfig, FakeObjectNavEnv, two_room_plan
 from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
 CFG = VLFMConfig(camera=CameraConfig(height=64, width=96))
-SPEC = GridSpec2D(size=512, pixels_per_meter=20, pad=128)
+SPEC = GridSpec2D(size=512, pixels_per_meter=20, pad=160)
 
 
 def drive(full_every_step: bool):

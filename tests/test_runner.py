@@ -9,7 +9,7 @@ from vlfm_tpu.runner import metrics as M
 
 def small_setup():
     cfg = VLFMConfig(camera=CameraConfig(height=96, width=128))
-    spec = GridSpec2D(size=512, pixels_per_meter=20, pad=128)
+    spec = GridSpec2D(size=512, pixels_per_meter=20, pad=160)
     env_cfg = EnvConfig(width=128, height=96, max_steps=120)
     return cfg, spec, env_cfg
 

@@ -8,7 +8,7 @@ from vlfm_tpu.mapping.grid import GridSpec2D
 from vlfm_tpu.ops.cone import depth_row_max, visible_confidence_window
 from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
-SPEC = GridSpec2D(size=512, pixels_per_meter=20, pad=128)
+SPEC = GridSpec2D(size=512, pixels_per_meter=20, pad=160)
 FOV = np.deg2rad(79)
 MIN_D, MAX_D = 0.5, 5.0
 

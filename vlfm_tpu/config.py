@@ -77,7 +77,7 @@ class VLFMConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     map_size: int = 1024
     pixels_per_meter: int = 20
-    map_pad: int = 128
+    map_pad: int = 160
     max_frontiers: int = 32
     max_frontier_cells: int = 512
     max_detections_per_frame: int = 8

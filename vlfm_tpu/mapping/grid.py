@@ -30,7 +30,7 @@ class GridSpec2D:
 
     size: int = 1024  # logical H == W, pixels
     pixels_per_meter: int = 20
-    pad: int = 128  # storage padding per side, >= window//2
+    pad: int = 160  # storage padding per side, >= splat_window//2 (see obstacle_map)
 
     @property
     def storage_size(self) -> int:

@@ -101,6 +101,7 @@ def _agent_kernel_size(spec: GridSpec2D, agent_radius: float) -> int:
     static_argnames=(
         "spec",
         "window",
+        "splat_window",
         "agent_radius",
         "explore",
         "update_obstacles",
@@ -125,6 +126,7 @@ def update(
     *,
     agent_radius: float = 0.18,
     window: int = 224,
+    splat_window: int = 288,
     explore: bool = True,
     update_obstacles: bool = True,
     max_frontier_cells: int = 512,
@@ -154,24 +156,27 @@ def update(
         in_band = (
             (filled > 0) & (z_epi >= min_height) & (z_epi <= max_height)
         )
+        # The splat window must cover the cone's far corners (radius
+        # max_depth / cos(hfov/2) — see ops/raster.py); ``window`` only needs
+        # to cover max_depth and is used for the cheaper explore stage.
         splat = splat_depth_to_window(
             scaled,
             in_band,
             yaw,
             jnp.float32(fx),
             jnp.float32(max_depth),
-            window=window,
+            window=splat_window,
             pixels_per_meter=spec.pixels_per_meter,
         )
 
-        obs_w = read_window(obstacles, rc, window) | splat
+        obs_w = read_window(obstacles, rc, splat_window) | splat
         obstacles = write_window(obstacles, obs_w, rc)
 
         # Navigable: recompute with a halo so dilation at the window edge is
         # correct (the rest of the map is untouched by this update).
-        obs_h = read_window(obstacles, rc, window + 2 * halo)
+        obs_h = read_window(obstacles, rc, splat_window + 2 * halo)
         nav_h = ~dilate(obs_h, kernel)
-        nav_w = nav_h[halo : halo + window, halo : halo + window] if halo else nav_h
+        nav_w = nav_h[halo : halo + splat_window, halo : halo + splat_window] if halo else nav_h
         navigable = write_window(navigable, nav_w, rc)
 
     if not explore:

@@ -23,7 +23,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_RADIAL_BINS = 128  # >= max_depth * pixels_per_meter for the reference envelope
+# Must cover the cone's far CORNERS, radius max_depth / cos(hfov/2): the
+# reference splats every pixel with z < max_depth (obstacle_map.py:93), and at
+# the image edge the planar radius is z * sqrt(1 + tan^2(hfov/2)) — 6.5 m for
+# the 79-degree/5 m envelope, i.e. 130 cells at 20 px/m.
+_RADIAL_BINS = 160
 
 
 def _dilate_cols(hist: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -90,15 +94,13 @@ def splat_depth_to_window(
     reach = jnp.ceil(
         half_diag / (jnp.maximum(r_of_bin, 0.05) * dphi_min)
     ).astype(jnp.int32)
-    variants = jnp.stack(
-        [
-            _dilate_cols(hist, 9),
-            _dilate_cols(hist, 17),
-            _dilate_cols(hist, 33),
-            _dilate_cols(hist, 65),
-        ]
-    )  # (4, W, R)
-    sel = jnp.where(reach <= 4, 0, jnp.where(reach <= 8, 1, jnp.where(reach <= 16, 2, 3)))
+    # Variant ladder must track ``reach`` closely: over-dilating paints an arc
+    # of several grid cells around every true hit (at 5 m, +-4 columns is
+    # already +-5 cells), so the ladder starts at +-1.
+    halves = (1, 2, 4, 8, 16, 32)
+    variants = jnp.stack([_dilate_cols(hist, 2 * k + 1) for k in halves])
+    sel = jnp.searchsorted(jnp.asarray(halves, jnp.float32), reach.astype(jnp.float32))
+    sel = jnp.clip(sel, 0, len(halves) - 1)
     hist_d = jnp.take_along_axis(
         variants, jnp.broadcast_to(sel[None, None, :], (1, w, _RADIAL_BINS)), axis=0
     )[0]

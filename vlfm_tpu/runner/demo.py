@@ -55,7 +55,7 @@ def main() -> None:
     cfg = VLFMConfig(
         camera=CameraConfig(height=args.image_height, width=args.image_width)
     )
-    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=128)
+    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=160)
     if args.controller == "neural":
         pn = PointNavPolicy({}, discrete=True)
         params = pn.init_params(
