@@ -24,3 +24,40 @@ except RuntimeError:
 
 def cpu_devices():
     return jax.devices("cpu")
+
+
+# ---------------------------------------------------------------------------
+# Suite split: the fast core (geometry/mapping/policy/adapters, < 2 min) runs
+# by default (pyproject addopts -m "not slow"); model-parity and episode-loop
+# suites are marked slow. Run everything with:  pytest -m "slow or not slow"
+# or just the slow half with:                   pytest -m slow
+# ---------------------------------------------------------------------------
+SLOW_FILES = {
+    "test_blip2.py",
+    "test_checkpoint_and_batched.py",
+    "test_detection_pipeline.py",
+    "test_full_stack.py",
+    "test_gdino_pipeline.py",
+    "test_grounding_dino.py",
+    "test_obsring.py",
+    "test_owl_vit.py",
+    "test_parallel.py",
+    "test_pointnav.py",
+    "test_policy_v1.py",
+    "test_prune_equivalence.py",
+    "test_runner.py",
+    "test_sam.py",
+    "test_swin.py",
+    "test_t5_vqa.py",
+    "test_tinyvit.py",
+    "test_reality_policy.py",
+    "test_habitat_loop.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.fspath.basename in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

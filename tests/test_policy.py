@@ -187,6 +187,7 @@ class TestPolicyStep:
         )
         assert int(action) == itm.STOP
 
+    @pytest.mark.slow
     def test_vmapped_batch(self, pointnav_policy):
         batch = 3
         state = itm.create_state(SPEC, CFG)
