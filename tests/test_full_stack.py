@@ -22,7 +22,7 @@ def test_perception_outputs_shapes():
     cfg = VLFMConfig(camera=CameraConfig(height=96, width=128))
     p = FullStackPerception(cfg)
     rgb = np.zeros((96, 128, 3), np.uint8)
-    cos, masks, valid = p(rgb, "toilet")
+    cos, masks, valid, _ = p(rgb, "toilet")
     assert cos.shape == (cfg.value_channels,)
     assert masks.shape == (cfg.max_detections_per_frame, 96, 128)
     assert valid.shape == (cfg.max_detections_per_frame,)

@@ -217,9 +217,10 @@ class T5VQA:
 
     @staticmethod
     @partial(jax.jit, static_argnames=("module", "max_new"))
-    def _greedy(module, params, input_ids, attention_mask, max_new):
+    def _greedy(module, params, input_ids, attention_mask, max_new, prefix=None):
         enc, m = module.apply(
-            {"params": params}, input_ids, attention_mask, method=T5Module.encode
+            {"params": params}, input_ids, attention_mask, prefix,
+            method=T5Module.encode,
         )
         b = input_ids.shape[0]
         tokens = jnp.zeros((b, max_new + 1), jnp.int32)  # starts with PAD
@@ -238,9 +239,14 @@ class T5VQA:
         tokens = jax.lax.fori_loop(0, max_new, body, tokens)
         return tokens[:, 1:]
 
-    def generate(self, input_ids, attention_mask, max_new_tokens: int = 8):
+    def generate(self, input_ids, attention_mask, max_new_tokens: int = 8,
+                 prefix: Optional[jnp.ndarray] = None):
+        """``prefix`` is the BLIP-2 style visual prefix (B, P, d_model) —
+        projected Q-Former outputs prepended to the text embeddings
+        (the lavis blip2_t5 composition the reference serves, vlm/blip2.py)."""
         return self._greedy(
-            self.module, self.params, input_ids, attention_mask, max_new_tokens
+            self.module, self.params, input_ids, attention_mask, max_new_tokens,
+            prefix,
         )
 
     def answer_starts_with_yes(self, generated, yes_token_id: int) -> jnp.ndarray:

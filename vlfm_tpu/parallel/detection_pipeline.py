@@ -1,34 +1,97 @@
-"""Detect -> route -> segment: the object-perception pipeline per frame.
+"""Detect -> route -> segment -> (optionally) VQA-verify: the object
+perception pipeline per frame.
 
 Parity target: BaseObjectNavPolicy._get_object_detections +
-_update_object_map's per-box SAM calls (base_objectnav_policy.py:221-241,
-311-321):
+_update_object_map (base_objectnav_policy.py:221-241, 311-335):
 
-- targets that are COCO classes use the COCO detector path at
-  ``coco_threshold`` (0.8); other targets use the open-vocabulary path at
-  ``non_coco_threshold`` (0.4); a COCO-class miss retries open-vocab.
-  Here both paths are the same OWL-ViT program with different query sets and
-  thresholds — the routing semantics are preserved, the second HTTP server
-  is not needed.
+- COCO-class targets use the dedicated closed-vocabulary detector at
+  ``coco_threshold`` (0.8); other targets use the open-vocabulary detector at
+  ``non_coco_threshold`` (0.4). A COCO-path miss retries the open-vocabulary
+  detector at 0.4 (base_objectnav_policy.py:235-239). Here both paths run as
+  ONE batched program each and the per-image miss-retry is a select between
+  their outputs — on TPU re-dispatching a data-dependent subset would cost
+  more than computing both branches for COCO targets.
 - every surviving box is segmented; the reference loops one HTTP SAM call
   per box, here all boxes of all images decode in one batched SAM call
   (the image is encoded once).
+- with ``use_vqa``, each detection is visually verified: the mask contour is
+  painted onto the RGB and the VQA model is asked
+  "Question: {vqa_prompt}[a ]{phrase}? Answer:"; answers not starting with
+  "yes" drop the detection (base_objectnav_policy.py:326-335).
 
 Outputs fixed-capacity (B, K, H, W) masks + validity for the policy step.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, Tuple
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vlfm_tpu.models.coco_classes import is_coco_target
+from vlfm_tpu.models.coco_classes import COCO_CLASSES, is_coco_target
+from vlfm_tpu.models.coco_detector import CocoDetector
 from vlfm_tpu.models.owl_vit import OwlViTDetector, top_detections
 from vlfm_tpu.models.sam import SAM
+from vlfm_tpu.models.t5_vqa import T5VQA
+from vlfm_tpu.ops.morphology import dilate
+
+
+@dataclass
+class VQAVeto:
+    """Visual verification of detections (the reference's use_vqa path).
+
+    ``image_prefix`` maps annotated RGB (B*, H, W, 3) uint8 to the (B*, P, D)
+    visual prefix for the T5 encoder — in production the BLIP-2 ViT+Q-Former
+    projection; tests use a small random projection of pooled pixels.
+    """
+
+    vqa: T5VQA
+    encode_text: Callable  # str -> (ids (L,), mask (L,))
+    yes_token_id: int
+    image_prefix: Optional[Callable] = None
+    vqa_prompt: str = "Is this "
+    max_answer_tokens: int = 4
+    _q_cache: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = field(default_factory=dict)
+
+    def question_for(self, phrase: str) -> str:
+        # base_objectnav_policy.py:329-332 (verbatim formatting, incl. the
+        # "a "-insertion for non-gerund phrases)
+        q = f"Question: {self.vqa_prompt}"
+        if not phrase.endswith("ing"):
+            q += "a "
+        q += phrase + "? Answer:"
+        return q
+
+    def _question_tokens(self, phrase: str):
+        if phrase not in self._q_cache:
+            ids, mask = self.encode_text(self.question_for(phrase))
+            self._q_cache[phrase] = (jnp.asarray(ids), jnp.asarray(mask))
+        return self._q_cache[phrase]
+
+    def __call__(self, rgb, masks, valid, phrase: str):
+        """(B,H,W,3) uint8, (B,K,H,W) bool, (B,K) bool -> vetoed valid (B,K)."""
+        b, k = valid.shape
+        ids, qmask = self._question_tokens(phrase)
+        # contour annotation: outer 1-px ring of each mask painted red
+        # (cv2.drawContours thickness-2 analogue, base_objectnav_policy.py:327-328)
+        ring = jax.vmap(jax.vmap(lambda m: dilate(m, 3) & ~m))(masks)
+        red = jnp.asarray([255, 0, 0], jnp.uint8)
+        annotated = jnp.where(
+            ring[..., None], red[None, None, None, None], rgb[:, None]
+        )  # (B, K, H, W, 3)
+        flat = annotated.reshape(b * k, *annotated.shape[2:])
+        prefix = self.image_prefix(flat) if self.image_prefix is not None else None
+        gen = self.vqa.generate(
+            jnp.broadcast_to(ids[None], (b * k, ids.shape[0])),
+            jnp.broadcast_to(qmask[None], (b * k, qmask.shape[0])),
+            max_new_tokens=self.max_answer_tokens,
+            prefix=prefix,
+        )
+        yes = self.vqa.answer_starts_with_yes(gen, self.yes_token_id).reshape(b, k)
+        return valid & yes
 
 
 @dataclass
@@ -36,6 +99,9 @@ class DetectionPipeline:
     detector: OwlViTDetector
     sam: SAM
     encode_queries: callable  # List[str] -> (ids (T, L) int32, mask (T, L) bool)
+    coco_detector: Optional[CocoDetector] = None
+    vqa_veto: Optional[VQAVeto] = None
+    use_vqa: bool = False
     coco_threshold: float = 0.8
     non_coco_threshold: float = 0.4
     max_detections: int = 8
@@ -50,21 +116,45 @@ class DetectionPipeline:
             self._query_cache[target] = (jnp.asarray(ids), jnp.asarray(mask))
         return self._query_cache[target]
 
+    def _open_vocab(self, rgb: jnp.ndarray, target: str, threshold: float):
+        ids, qmask = self._queries(target)
+        imgs = self.detector.preprocess(rgb)
+        boxes, logits = self.detector.detect(imgs, ids, qmask)
+        return top_detections(
+            boxes, logits, capacity=self.max_detections, threshold=threshold
+        )
+
+    def _coco_path(self, rgb: jnp.ndarray, target: str):
+        """Closed-vocabulary detections filtered to the target class(es)
+        (detections.filter_by_class, base_objectnav_policy.py:231)."""
+        xyxy, scores, cls, valid = self.coco_detector.predict(rgb)
+        target_ids = jnp.asarray(
+            [COCO_CLASSES.index(n) for n in target.split("|") if n in COCO_CLASSES],
+            jnp.int32,
+        )
+        keep = (cls[..., None] == target_ids[None, None, :]).any(-1)
+        return xyxy, scores, cls, valid & keep
+
     def __call__(self, rgb: jnp.ndarray, target: str):
         """(B, H, W, 3) uint8 -> (masks (B, K, H, W) bool, valid (B, K))."""
         b, h, w = rgb.shape[:3]
-        ids, qmask = self._queries(target)
-        thresh = self.coco_threshold if is_coco_target(target) else self.non_coco_threshold
-
-        imgs = self.detector.preprocess(rgb)
-        boxes, logits = self.detector.detect(imgs, ids, qmask)
-        xyxy, scores, cls, valid = top_detections(
-            boxes, logits, capacity=self.max_detections, threshold=thresh
-        )
-        if is_coco_target(target) and not bool(valid.any()):
+        if is_coco_target(target) and self.coco_detector is not None:
+            xyxy, scores, cls, valid = self._coco_path(rgb, target)
             # COCO miss -> open-vocab retry at the lower threshold
-            # (base_objectnav_policy.py:235-239)
-            valid = scores >= self.non_coco_threshold
+            # (base_objectnav_policy.py:235-239). Both branches are batched;
+            # the retry is a per-image select.
+            xyxy2, scores2, cls2, valid2 = self._open_vocab(
+                rgb, target, self.non_coco_threshold
+            )
+            missed = ~valid.any(axis=1)  # (B,)
+            xyxy = jnp.where(missed[:, None, None], xyxy2, xyxy)
+            scores = jnp.where(missed[:, None], scores2, scores)
+            cls = jnp.where(missed[:, None], cls2, cls)
+            valid = jnp.where(missed[:, None], valid2, valid)
+        else:
+            xyxy, scores, cls, valid = self._open_vocab(
+                rgb, target, self.non_coco_threshold
+            )
 
         sam_imgs = jax.image.resize(
             rgb.astype(jnp.float32),
@@ -78,4 +168,11 @@ class DetectionPipeline:
             method="linear",
         ) > 0.5
         masks = masks & valid[:, :, None, None]
+
+        if self.use_vqa and self.vqa_veto is not None:
+            # phrase = the first target name, as the reference passes the
+            # detection phrase (here the class the query matched)
+            valid = self.vqa_veto(rgb, masks, valid, target.split("|")[0])
+            masks = masks & valid[:, :, None, None]
+
         return masks, valid, (xyxy, scores, cls)

@@ -101,6 +101,7 @@ def step(
     det_masks: jnp.ndarray,  # (K, H, W) bool segmentation masks
     det_valid: jnp.ndarray,  # (K,) bool
     rng: jnp.ndarray,
+    object_depth: jnp.ndarray | None = None,  # (H, W); monocular-depth fallback
     *,
     pointnav: PointNavPolicy,
     spec: GridSpec2D,
@@ -108,6 +109,11 @@ def step(
     version: str = "v2",
 ):
     cam = cfg.camera
+    # The object map may use an inferred depth (all-ones RGB-only frames,
+    # base_objectnav_policy.py:314-318); obstacle/value maps keep the sensor
+    # depth, matching the reference's per-consumer depth routing.
+    if object_depth is None:
+        object_depth = obs.depth
 
     # --- map edge guard (base_objectnav_policy.py:158-162 -> STOP) ---------
     edge_margin = 8
@@ -161,7 +167,7 @@ def step(
             return OBJ.update(
                 o,
                 sub,
-                obs.depth,
+                object_depth,
                 mask,
                 obs.tf_camera_to_episodic,
                 cam.min_depth,

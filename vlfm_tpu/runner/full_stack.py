@@ -1,11 +1,12 @@
 """Full-stack episode: the REAL model architectures in the loop.
 
-Composes the perception stack (BLIP2-ITM scoring + OWL-ViT detection +
-batched SAM segmentation) with the policy/mapping pipeline against the
-synthetic environment — the complete system of the reference, end-to-end,
-with no oracle perception. With converted production checkpoints this is the
-deployment configuration; with random weights it exercises every seam and
-measures full-stack throughput.
+Composes the perception stack (BLIP2-ITM scoring + open-vocab/COCO detection
++ batched SAM segmentation + optional VQA veto + monocular-depth fallback)
+with the policy/mapping pipeline against the synthetic environment — the
+complete system of the reference, end-to-end, with no oracle perception.
+With converted production checkpoints this is the deployment configuration;
+with random weights it exercises every seam and measures full-stack
+throughput.
 """
 
 from __future__ import annotations
@@ -19,10 +20,13 @@ import numpy as np
 from vlfm_tpu.config import VLFMConfig
 from vlfm_tpu.mapping.grid import GridSpec2D
 from vlfm_tpu.models.blip2_itm import BLIP2ITM, BLIP2ITMConfig
+from vlfm_tpu.models.coco_detector import CocoDetector
+from vlfm_tpu.models.monodepth import MonocularDepth
 from vlfm_tpu.models.owl_vit import OwlViTDetConfig, OwlViTDetector
 from vlfm_tpu.models.sam import SAM, SamConfig, SamDecoderConfig, SamVisionConfig
+from vlfm_tpu.models.t5_vqa import T5Config, T5VQA
 from vlfm_tpu.models.tokenizer import WordPieceTokenizer, toy_vocab
-from vlfm_tpu.parallel.detection_pipeline import DetectionPipeline
+from vlfm_tpu.parallel.detection_pipeline import DetectionPipeline, VQAVeto
 from vlfm_tpu.parallel.engine import PerceptionEngine
 
 
@@ -39,8 +43,26 @@ def tiny_sam_config() -> SamConfig:
     )
 
 
+def _toy_image_prefix(d_model: int, seed: int = 0, tokens: int = 4):
+    """Stand-in for the BLIP-2 ViT+Q-Former language projection: pooled image
+    patches through a fixed random projection. Deterministic in the image, so
+    the veto path is image-dependent end-to-end."""
+    key = jax.random.PRNGKey(seed)
+    w = jax.random.normal(key, (48, tokens * d_model)) * 0.02
+
+    @jax.jit
+    def prefix(rgb_uint8):  # (B, H, W, 3) -> (B, tokens, d_model)
+        b, h, w_, _ = rgb_uint8.shape
+        x = rgb_uint8.astype(jnp.float32) / 255.0
+        pooled = jax.image.resize(x, (b, 4, 4, 3), method="linear").reshape(b, 48)
+        return (pooled @ w).reshape(b, tokens, d_model)
+
+    return prefix
+
+
 class FullStackPerception:
-    """(rgb, target) -> (cosines, det_masks, det_valid) via the real models."""
+    """(rgb, depth, target) -> (cosines, det_masks, det_valid, object_depth)
+    via the real model architectures."""
 
     def __init__(
         self,
@@ -48,12 +70,16 @@ class FullStackPerception:
         itm: Optional[BLIP2ITM] = None,
         detector: Optional[OwlViTDetector] = None,
         sam: Optional[SAM] = None,
+        vqa: Optional[T5VQA] = None,
+        monodepth: Optional[MonocularDepth] = None,
         det_threshold: float = 0.0,
+        yes_token_id: int = 42,
     ):
         self.cfg = cfg
         self.itm = itm or BLIP2ITM.init_random(BLIP2ITMConfig.tiny(), seed=0)
         detector = detector or OwlViTDetector.init_random(OwlViTDetConfig.tiny(), seed=0)
         sam = sam or SAM.init_random(tiny_sam_config(), seed=0)
+        self.monodepth = monodepth
         self.tokenizer = WordPieceTokenizer(toy_vocab(), max_len=8)
         self.engine = PerceptionEngine(
             itm=self.itm, tokenizer=self.tokenizer, text_prompt=cfg.text_prompt
@@ -64,18 +90,56 @@ class FullStackPerception:
             # clamp into the tiny detector vocabs
             return ids % 99 + 1, mask
 
+        coco = CocoDetector(
+            detector, encode_queries,
+            conf_threshold=cfg.coco_threshold,
+            max_detections=cfg.max_detections_per_frame,
+        )
+        veto = None
+        if cfg.use_vqa:
+            vqa = vqa or T5VQA.init_random(T5Config.tiny(), seed=0)
+
+            def encode_question(text):
+                ids, mask = self.tokenizer.encode_batch([text])
+                return ids[0] % vqa.cfg.vocab_size, mask[0]
+
+            veto = VQAVeto(
+                vqa=vqa,
+                encode_text=encode_question,
+                yes_token_id=yes_token_id,
+                image_prefix=_toy_image_prefix(vqa.cfg.d_model),
+                vqa_prompt=cfg.vqa_prompt,
+            )
+
         self.pipeline = DetectionPipeline(
             detector, sam, encode_queries,
+            coco_detector=coco,
+            vqa_veto=veto,
+            use_vqa=cfg.use_vqa,
             coco_threshold=cfg.coco_threshold,
             non_coco_threshold=det_threshold,
             max_detections=cfg.max_detections_per_frame,
         )
 
-    def __call__(self, rgb: np.ndarray, target: str):
+    def __call__(self, rgb: np.ndarray, target: str, depth: Optional[np.ndarray] = None):
         rgb_b = jnp.asarray(rgb)[None]
         cos = self.engine.score(rgb_b, target)[0]
         masks, valid, _ = self.pipeline(rgb_b, target)
-        return np.asarray(cos), np.asarray(masks[0]), np.asarray(valid[0])
+        # All-ones depth triggers monocular estimation for the object map
+        # (base_objectnav_policy.py:314-318; reality_policies.py:156-169).
+        object_depth = depth
+        if (
+            depth is not None
+            and self.monodepth is not None
+            and bool(valid.any())
+            and np.all(depth == 1.0)
+        ):
+            object_depth = np.asarray(
+                self.monodepth.infer_depth(
+                    rgb_b, self.cfg.camera.min_depth, self.cfg.camera.max_depth
+                )[0]
+            )
+        return np.asarray(cos), np.asarray(masks[0]), np.asarray(valid[0]), object_depth
 
 
 def run_full_stack_episode(env, spec: GridSpec2D, cfg: VLFMConfig, pointnav="greedy",
@@ -95,13 +159,14 @@ def run_full_stack_episode(env, spec: GridSpec2D, cfg: VLFMConfig, pointnav="gre
     target_seen = target_detected = False
     t0 = time.time()
     while not o["done"]:
-        cos, masks, valid = perception(o["rgb"], "toilet")
+        cos, masks, valid, obj_depth = perception(o["rgb"], "toilet", o["depth"])
         rng, sub = jax.random.split(rng)
         action, info, state = policy.step(
             state, _obs_from_env(o, cfg),
             jnp.asarray(cos[: cfg.value_channels]),
             jnp.asarray(masks), jnp.asarray(valid), sub,
             pointnav=pointnav, spec=spec, cfg=cfg,
+            object_depth=None if obj_depth is o["depth"] else jnp.asarray(obj_depth),
         )
         target_seen = target_seen or o["target_visible"]
         target_detected = target_detected or bool(info.target_detected)
