@@ -16,7 +16,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from vlfm_tpu.reality.robots import BaseRobot
+from vlfm_tpu.reality.robots import CAM_TO_XYZ, BaseRobot
 from vlfm_tpu.utils.geometry import get_fov
 
 STOP, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT = 0, 1, 2, 3
@@ -92,9 +92,11 @@ class PointNavEnv:
 class ObjectNavEnv(PointNavEnv):
     """Full ObjectNav on the robot: multi-camera obstacle depth + gripper RGB.
 
-    Observation layout mirrors objectnav_env.py:131-230: ``obstacle_depths``
-    (per-camera depth, tf, fx/fy/topdown fov), ``value_rgbd`` (hand RGB +
-    depth), gps/compass in the episodic frame.
+    Observation layout mirrors objectnav_env.py:118-230: ``obstacle_depths``
+    (per-camera depth + camera->EPISODIC tf + fx/fy/topdown fov),
+    ``nav_depth`` (hstacked front pair for PointNav), hand-camera RGB +
+    intrinsics (depth is all-ones -> monocular-depth trigger), gps/compass in
+    the episodic frame.
     """
 
     def __init__(self, robot: BaseRobot, cfg: Optional[RealityEnvConfig] = None):
@@ -110,44 +112,89 @@ class ObjectNavEnv(PointNavEnv):
         return self.observe()
 
     def step(self, action) -> Dict[str, Any]:  # type: ignore[override]
-        obs = super().step(action)
+        # Arm-yaw actions move the gripper camera, not the base
+        # (objectnav_env.py:102-113); -1 means a base action. The step counter
+        # increments BEFORE observing (reference: _num_steps += 1 precedes
+        # _get_obs, objectnav_env.py:114-117).
+        if isinstance(action, dict) and action.get("arm_yaw", -1.0) >= -0.5:
+            joints = np.zeros(6, np.float32)
+            joints[0] = action["arm_yaw"]
+            self.robot.set_arm_joints(joints, travel_time=0.5)
+        else:
+            c = self.cfg
+            if isinstance(action, dict):
+                self.robot.command_base_velocity(action["angular"], action["linear"])
+            elif action == MOVE_FORWARD:
+                self.robot.command_base_velocity(0.0, c.forward_step / c.time_step)
+            elif action == TURN_LEFT:
+                self.robot.command_base_velocity(math.radians(c.turn_deg) / c.time_step, 0.0)
+            elif action == TURN_RIGHT:
+                self.robot.command_base_velocity(-math.radians(c.turn_deg) / c.time_step, 0.0)
         self.steps += 1
-        return obs
+        return self.observe()
+
+    def _tf_episodic(self, tf_camera_to_global: np.ndarray) -> np.ndarray:
+        """camera -> episodic, in xyz conventions (objectnav_env.py:139-142)."""
+        bxy, byaw = self._boot
+        c, s = math.cos(byaw), math.sin(byaw)
+        tf_episodic_to_global = np.array(
+            [[c, -s, 0, bxy[0]], [s, c, 0, bxy[1]], [0, 0, 1, 0], [0, 0, 0, 1]],
+            np.float32,
+        )
+        tf_global_to_episodic = np.linalg.inv(tf_episodic_to_global)
+        return tf_global_to_episodic @ tf_camera_to_global @ CAM_TO_XYZ
 
     def observe(self) -> Dict[str, Any]:
         c = self.cfg
         xy, yaw = self.robot.xy_yaw
         exy, eyaw = self._to_episodic(xy, yaw)
-        cam_ids = (
+        body_ids = (
             BODY_DEPTH_CAMERAS
-            if self.steps < c.all_cams_until_step
+            if self.steps <= c.all_cams_until_step
             else BODY_DEPTH_CAMERAS[:2]
-        ) + ["hand_color"]
-        cams = self.robot.get_camera_data(cam_ids)
+        )
+        cams = self.robot.get_camera_data(body_ids + ["hand_color"])
 
         obstacle_depths = []
-        for cid in cam_ids:
-            if "depth" not in cid:
-                continue
+        for cid in body_ids:
             cam = cams[cid]
             depth = self._norm_depth(cam.image, c.max_body_cam_depth)
+            # front cams are sideways on Spot: topdown fov uses fy/height
+            # (objectnav_env.py:197-200)
+            fov = (
+                get_fov(cam.fy, depth.shape[0])
+                if cid.startswith("front")
+                else get_fov(cam.fx, depth.shape[1])
+            )
             obstacle_depths.append(
                 {
                     "depth": depth,
-                    "tf": cam.tf_camera_to_global,
+                    "tf": self._tf_episodic(cam.tf_camera_to_global),
                     "fx": cam.fx,
                     "fy": cam.fy,
-                    "topdown_fov": get_fov(cam.fx, depth.shape[1]),
+                    "topdown_fov": fov,
                     "max_depth": c.max_body_cam_depth,
                 }
             )
+
+        # nav depth: front pair side by side, holes read as far
+        # (objectnav_env.py:180-184)
+        fl = self._norm_depth(cams["frontleft_depth"].image, c.max_body_cam_depth)
+        fr = self._norm_depth(cams["frontright_depth"].image, c.max_body_cam_depth)
+        nav_depth = np.hstack([fr, fl])
+        nav_depth[nav_depth == 0] = 1.0
+
         hand = cams["hand_color"]
         return {
             "robot_xy": exy,
             "heading": eyaw,
             "obstacle_depths": obstacle_depths,
+            "nav_depth": nav_depth,
             "rgb": hand.image,
-            "hand_tf": hand.tf_camera_to_global,
+            "hand_tf": self._tf_episodic(hand.tf_camera_to_global),
             "hand_fx": hand.fx,
+            "hand_fy": hand.fy,
+            "hand_fov": get_fov(hand.fx, hand.image.shape[1]),
+            "hand_max_depth": c.max_gripper_cam_depth,
             "target_object": self.target_object,
         }

@@ -31,12 +31,20 @@ SPOT_CAMERA_SHAPES: Dict[str, Tuple[int, int]] = {
 }
 
 
+# Camera-convention (+z forward, +x right, +y down) -> xyz convention
+# (+x forward, +y left, +z up); objectnav_env.py:139-142. Real cameras (and
+# FakeRobot) report camera-convention transforms; the env remaps them.
+CAM_TO_XYZ = np.array(
+    [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], np.float32
+)
+
+
 @dataclass
 class CameraData:
     image: np.ndarray
     fx: float
     fy: float
-    tf_camera_to_global: np.ndarray  # (4, 4)
+    tf_camera_to_global: np.ndarray  # (4, 4), camera conventions
 
 
 class BaseRobot(abc.ABC):
@@ -85,10 +93,12 @@ class FakeRobot(BaseRobot):
             else:
                 img = self._rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
             fx = w / (2 * math.tan(math.radians(60.0) / 2))
-            tf = np.eye(4, dtype=np.float32)
-            tf[0, 3], tf[1, 3], tf[2, 3] = self._x, self._y, 0.5
+            base = np.eye(4, dtype=np.float32)
+            base[0, 3], base[1, 3], base[2, 3] = self._x, self._y, 0.5
             c, s = math.cos(self._yaw), math.sin(self._yaw)
-            tf[0, 0], tf[0, 1], tf[1, 0], tf[1, 1] = c, -s, s, c
+            base[0, 0], base[0, 1], base[1, 0], base[1, 1] = c, -s, s, c
+            # camera faces the robot's forward: base @ inv(CAM_TO_XYZ)
+            tf = (base @ CAM_TO_XYZ.T).astype(np.float32)
             out[cid] = CameraData(image=img, fx=fx, fy=fx, tf_camera_to_global=tf)
         return out
 
