@@ -74,3 +74,14 @@ def test_graft_entry_contract():
     fn, args = g.entry()
     action, info, state = fn(*args)
     assert int(action) in (0, 1, 2, 3)
+
+
+def test_dryrun_multichip_equivalence():
+    """The driver's dryrun contract: 8-device mesh == single device, checked
+    on actions, explored maps, value maps, and tp-sharded ITM scores."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
