@@ -68,6 +68,38 @@ class SamConfig:
     vision: SamVisionConfig = SamVisionConfig()
     decoder: SamDecoderConfig = SamDecoderConfig()
     pe_dim: int = 128  # half of prompt hidden
+    # MobileSAM: swap the ViT-det encoder for TinyViT (models/tinyvit.py);
+    # vision.image_size/out_channels must agree with the TinyViT config.
+    tinyvit: Any = None  # Optional[TinyViTConfig]
+
+    @staticmethod
+    def mobile_sam() -> "SamConfig":
+        """MobileSAM (vit_t): TinyViT-5M encoder + the standard SAM decoder
+        (reference: vlfm/vlm/sam.py:24-57, mobile_sam package)."""
+        from vlfm_tpu.models.tinyvit import TinyViTConfig
+
+        tv = TinyViTConfig()
+        return SamConfig(
+            vision=SamVisionConfig(image_size=tv.img_size, patch_size=16,
+                                   out_channels=tv.out_channels),
+            tinyvit=tv,
+        )
+
+    @staticmethod
+    def tiny_mobile_sam() -> "SamConfig":
+        from vlfm_tpu.models.tinyvit import TinyViTConfig
+
+        tv = TinyViTConfig.tiny()
+        return SamConfig(
+            vision=SamVisionConfig(image_size=tv.img_size, patch_size=16,
+                                   out_channels=tv.out_channels),
+            decoder=SamDecoderConfig(
+                hidden=16, layers=2, heads=2, mlp_dim=32,
+                iou_head_depth=2, iou_head_hidden=16,
+            ),
+            pe_dim=8,
+            tinyvit=tv,
+        )
 
     @staticmethod
     def tiny() -> "SamConfig":
@@ -387,7 +419,12 @@ class SamModule(nn.Module):
     cfg: SamConfig
 
     def setup(self):
-        self.vision = SamVisionEncoder(self.cfg.vision, name="vision")
+        if self.cfg.tinyvit is not None:
+            from vlfm_tpu.models.tinyvit import TinyViT
+
+            self.vision = TinyViT(self.cfg.tinyvit, name="vision")
+        else:
+            self.vision = SamVisionEncoder(self.cfg.vision, name="vision")
         self.pe = SamPositionalEmbedding(self.cfg.pe_dim, name="shared_pe")
         self.prompt = SamPromptEncoder(self.cfg.decoder.hidden, name="prompt")
         self.decoder = SamMaskDecoder(self.cfg.decoder, name="decoder")
@@ -492,6 +529,77 @@ def _dec_attn(sd, name):
         "k_proj": _lin(sd, f"{name}.k_proj"),
         "v_proj": _lin(sd, f"{name}.v_proj"),
         "out_proj": _lin(sd, f"{name}.out_proj"),
+    }
+
+
+def convert_mobile_sam(sd: Mapping[str, Any], cfg: SamConfig) -> Dict[str, Any]:
+    """Convert a mobile_sam.pt state dict (ORIGINAL segment-anything naming,
+    not HF) to the flax tree: TinyViT encoder + prompt encoder + decoder.
+
+    Original-naming map (facebookresearch/segment-anything modeling/*):
+      mask_decoder.transformer.layers.{i}.{self_attn,norm1,cross_attn_token_to_image,
+        norm2,mlp.lin1,mlp.lin2,norm3,cross_attn_image_to_token,norm4}
+      mask_decoder.transformer.{final_attn_token_to_image,norm_final_attn}
+      mask_decoder.output_upscaling.{0,1,3} (ConvT, LayerNorm2d, ConvT)
+      mask_decoder.{output_hypernetworks_mlps,iou_prediction_head}.layers.{0,1,2}
+      prompt_encoder.{point_embeddings.{0..3},no_mask_embed,
+        pe_layer.positional_encoding_gaussian_matrix}
+    """
+    from vlfm_tpu.models.tinyvit import convert_mobile_sam_encoder
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    assert cfg.tinyvit is not None, "mobile_sam checkpoints carry a TinyViT encoder"
+    vis = convert_mobile_sam_encoder(
+        {k: v for k, v in sd.items() if k.startswith("image_encoder.")}, cfg.tinyvit
+    )
+
+    def ff(name, depth):
+        # original: layers.0..depth-1; flax SamFeedForward: proj_in, layer{i}, proj_out
+        out = {"proj_in": _lin(sd, f"{name}.layers.0"),
+               "proj_out": _lin(sd, f"{name}.layers.{depth - 1}")}
+        for j in range(depth - 2):
+            out[f"layer{j}"] = _lin(sd, f"{name}.layers.{j + 1}")
+        return out
+
+    dec: Dict[str, Any] = {
+        "iou_token": jnp.asarray(sd["mask_decoder.iou_token.weight"]),
+        "mask_tokens": jnp.asarray(sd["mask_decoder.mask_tokens.weight"]),
+        "final_t2i": _dec_attn(sd, "mask_decoder.transformer.final_attn_token_to_image"),
+        "ln_final": _lnp(sd, "mask_decoder.transformer.norm_final_attn"),
+        "upscale_conv1": _convT(sd, "mask_decoder.output_upscaling.0"),
+        "upscale_ln": _lnp(sd, "mask_decoder.output_upscaling.1"),
+        "upscale_conv2": _convT(sd, "mask_decoder.output_upscaling.3"),
+        "iou_head": ff("mask_decoder.iou_prediction_head", cfg.decoder.iou_head_depth),
+    }
+    for i in range(cfg.decoder.num_multimask_outputs + 1):
+        dec[f"hyper{i}"] = ff(f"mask_decoder.output_hypernetworks_mlps.{i}", 3)
+    for i in range(cfg.decoder.layers):
+        p = f"mask_decoder.transformer.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": _dec_attn(sd, f"{p}.self_attn"),
+            "ln1": _lnp(sd, f"{p}.norm1"),
+            "cross_t2i": _dec_attn(sd, f"{p}.cross_attn_token_to_image"),
+            "ln2": _lnp(sd, f"{p}.norm2"),
+            "mlp_lin1": _lin(sd, f"{p}.mlp.lin1"),
+            "mlp_lin2": _lin(sd, f"{p}.mlp.lin2"),
+            "ln3": _lnp(sd, f"{p}.norm3"),
+            "cross_i2t": _dec_attn(sd, f"{p}.cross_attn_image_to_token"),
+            "ln4": _lnp(sd, f"{p}.norm4"),
+        }
+
+    point_embed = np.concatenate(
+        [sd[f"prompt_encoder.point_embeddings.{i}.weight"] for i in range(4)], axis=0
+    )
+    return {
+        "vision": vis,
+        "decoder": dec,
+        "prompt": {"point_embed": jnp.asarray(point_embed)},
+        "no_mask_embed": jnp.asarray(sd["prompt_encoder.no_mask_embed.weight"][0]),
+        "shared_pe": {
+            "gaussian": jnp.asarray(
+                sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
+            )
+        },
     }
 
 

@@ -78,7 +78,10 @@ class FullStackPerception:
         self.cfg = cfg
         self.itm = itm or BLIP2ITM.init_random(BLIP2ITMConfig.tiny(), seed=0)
         detector = detector or OwlViTDetector.init_random(OwlViTDetConfig.tiny(), seed=0)
-        sam = sam or SAM.init_random(tiny_sam_config(), seed=0)
+        # MobileSAM (TinyViT encoder) is the default, like the reference's
+        # vit_t (vlfm/vlm/sam.py:24-57); the ViT-det encoder remains available
+        # via an explicit ``sam=``.
+        sam = sam or SAM.init_random(SamConfig.tiny_mobile_sam(), seed=0)
         self.monodepth = monodepth
         self.tokenizer = WordPieceTokenizer(toy_vocab(), max_len=8)
         self.engine = PerceptionEngine(
