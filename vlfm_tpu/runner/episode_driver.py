@@ -60,6 +60,131 @@ def _masks_from_env(o, cfg: VLFMConfig):
     return jnp.asarray(masks), jnp.asarray(valid)
 
 
+def _step_key(episode_seed: int, step: int):
+    """Per-(episode, step) rng, independent of lane scheduling — recycled
+    lanes reproduce fresh-driver results bit-for-bit."""
+    return jax.random.fold_in(jax.random.PRNGKey(episode_seed), step)
+
+
+def run_episodes_recycled(
+    env_factory,
+    episode_seeds,
+    lanes: int,
+    pointnav,
+    spec: GridSpec2D,
+    cfg: VLFMConfig,
+    *,
+    version: str = "v2",
+    max_steps: Optional[int] = None,
+):
+    """Continuous batching: finished lanes reset IN PLACE and immediately
+    take the next episode from the queue, so throughput stays flat under
+    episode-length variance.
+
+    Replaces the reference's envs_to_pause batch-shrinking
+    (vlfm_trainer.py:232-246); here the batch never shrinks — a finished
+    lane's map state is reset on device (one jnp.where per step) and the
+    lane keeps working.
+
+    ``env_factory(seed) -> env``. Returns ({seed: EpisodeResult}, DriverStats).
+    """
+    base = itm.create_state(spec, cfg)
+    fresh = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (lanes, *x.shape)), base)
+    bstate = jax.tree_util.tree_map(jnp.copy, fresh)
+    k = cfg.max_detections_per_frame
+
+    def one(state, obs, cosines, masks, valid, rng):
+        return itm.step(
+            state, obs, cosines, masks, valid, rng,
+            pointnav=pointnav, spec=spec, cfg=cfg, version=version,
+        )
+
+    step_fn = jax.jit(jax.vmap(one))
+
+    @jax.jit
+    def reset_lanes(bs, done_mask):
+        def sel(b, f):
+            m = done_mask.reshape((lanes,) + (1,) * (b.ndim - 1))
+            return jnp.where(m, f, b)
+
+        return jax.tree_util.tree_map(sel, bs, fresh)
+
+    queue = list(episode_seeds)
+    assert lanes <= len(queue), "need at least one episode per lane"
+    lane_seed = [queue.pop(0) for _ in range(lanes)]
+    lane_env = [env_factory(s) for s in lane_seed]
+    lane_active = [True] * lanes
+    obs_list = [e.reset() for e in lane_env]
+    shortest = [e.shortest_path_length() for e in lane_env]
+    lane_step = [0] * lanes
+    seen = [False] * lanes
+    detected = [False] * lanes
+    limit = max_steps or lane_env[0].cfg.max_steps
+
+    results = {}
+    stats = DriverStats()
+    t0 = time.time()
+    while any(lane_active):
+        stacked_obs = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[_obs_from_env(o, cfg) for o in obs_list]
+        )
+        masks_np = np.zeros((lanes, k, *obs_list[0]["depth"].shape), bool)
+        valid_np = np.zeros((lanes, k), bool)
+        cos_np = np.zeros((lanes, cfg.value_channels), np.float32)
+        for i, o in enumerate(obs_list):
+            cos_np[i] = o["cosine"]
+            if o["target_visible"]:
+                masks_np[i, 0] = o["target_mask"]
+                valid_np[i, 0] = True
+        rngs = jnp.stack([_step_key(lane_seed[i], lane_step[i]) for i in range(lanes)])
+        actions, infos, bstate = step_fn(
+            bstate, stacked_obs, jnp.asarray(cos_np), jnp.asarray(masks_np),
+            jnp.asarray(valid_np), rngs,
+        )
+        actions_np = np.asarray(actions)
+        detected_np = np.asarray(infos.target_detected)
+
+        done_mask = np.zeros(lanes, bool)
+        for i in range(lanes):
+            if not lane_active[i]:
+                done_mask[i] = True  # keep idle lanes zeroed
+                continue
+            o = obs_list[i]
+            seen[i] = seen[i] or o["target_visible"]
+            detected[i] = detected[i] or bool(detected_np[i])
+            obs_list[i] = lane_env[i].step(int(actions_np[i]))
+            lane_step[i] += 1
+            stats.env_steps += 1
+            if obs_list[i]["done"] or lane_step[i] >= limit:
+                e = lane_env[i]
+                results[lane_seed[i]] = M.compute_result(
+                    called_stop=e.called_stop,
+                    distance_to_goal=obs_list[i]["distance_to_goal"],
+                    success_radius=e.cfg.success_radius,
+                    shortest_path=shortest[i],
+                    path_length=e.path_length,
+                    steps=e.steps,
+                    max_steps=limit,
+                    target_detected=detected[i],
+                    target_seen=seen[i],
+                    collisions=e.collisions,
+                )
+                done_mask[i] = True
+                if queue:  # recycle the lane in place
+                    lane_seed[i] = queue.pop(0)
+                    lane_env[i] = env_factory(lane_seed[i])
+                    obs_list[i] = lane_env[i].reset()
+                    shortest[i] = lane_env[i].shortest_path_length()
+                    lane_step[i] = 0
+                    seen[i] = detected[i] = False
+                else:
+                    lane_active[i] = False
+        if done_mask.any():
+            bstate = reset_lanes(bstate, jnp.asarray(done_mask))
+    stats.wall_time = time.time() - t0
+    return results, stats
+
+
 def run_episodes_batched(
     envs: List[FakeObjectNavEnv],
     pointnav,
@@ -166,7 +291,6 @@ def run_episode(
     """Run one episode to completion. Returns (EpisodeResult, DriverStats)."""
     o = env.reset()
     state = itm.create_state(spec, cfg)
-    rng = jax.random.PRNGKey(seed)
     stats = DriverStats()
     target_seen = False
     target_detected = False
@@ -175,7 +299,8 @@ def run_episode(
     shortest = env.shortest_path_length()
     t0 = time.time()
     while not o["done"] and env.steps < limit:
-        rng, sub = jax.random.split(rng)
+        # per-(episode, step) key — matches the recycled driver's stream
+        sub = _step_key(seed, stats.env_steps)
         obs = _obs_from_env(o, cfg)
         masks, mvalid = _masks_from_env(o, cfg)
         action, info, state = itm.step(
