@@ -260,18 +260,27 @@ def bench_full_stack(batch: int = 8, iters: int = 4):
         jax.random.PRNGKey(1), (cam.height, cam.width), minval=0.3, maxval=1.0
     )
 
-    def perception(rgb):  # (B, H, W, 3) uint8 -> cosines, masks, valid
+    from vlfm_tpu.models.blip2_itm import BLIP2ITMModule
+
+    # Params MUST flow through the jit boundary as traced args: capturing the
+    # model objects' .params in the closure embeds 2.5 GB of weights as XLA
+    # constants (and compiles forever).
+    def perception(itm_p, det_p, sam_p, rgb):
         imgs = itm_model.preprocess(rgb)
-        cos = itm_model.cosine_cached_text(imgs, text_feats)  # (B, 1)
+        img_feats = itm_model.module.apply(
+            {"params": itm_p}, imgs, method=BLIP2ITMModule.image_feats
+        )
+        cos = jnp.max(jnp.einsum("bqe,te->bqt", img_feats, text_feats), axis=1)
         dimgs = detector.preprocess(rgb)
-        boxes, logits = detector.detect(dimgs, qids, qmask)
+        boxes, logits = detector.module.apply({"params": det_p}, dimgs, qids, qmask)
         xyxy, scores, cls, valid = top_detections(
             boxes, logits, capacity=k, threshold=cfg.non_coco_threshold
         )
         sam_imgs = jax.image.resize(
             rgb.astype(jnp.float32), (rgb.shape[0], sam_size, sam_size, 3), "linear"
         )
-        masks_lr, _ = sam.segment_boxes(sam_imgs, xyxy)
+        masks_all, _ = sam.module.apply({"params": sam_p}, sam_imgs, xyxy)
+        masks_lr = masks_all[:, :, 0] > 0.0  # multimask_output=False
         masks = jax.image.resize(
             masks_lr.astype(jnp.float32),
             (rgb.shape[0], k, cam.height, cam.width), "linear",
@@ -295,12 +304,14 @@ def bench_full_stack(batch: int = 8, iters: int = 4):
         )
 
     @jax.jit
-    def system_step(bs, rgb, t, rng):
-        cos, masks, valid = perception(rgb)
+    def system_step(itm_p, det_p, sam_p, bs, rgb, t, rng):
+        cos, masks, valid = perception(itm_p, det_p, sam_p, rgb)
         subs = jax.random.split(rng, batch)
         ts = jnp.full((batch,), t)
         actions, _, bs2 = jax.vmap(policy_one)(bs, ts, subs, cos, masks, valid)
         return bs2, actions
+
+    params3 = (itm_model.params, detector.params, sam.params)
 
     rgb = jax.random.randint(
         jax.random.PRNGKey(2), (batch, cam.height, cam.width, 3), 0, 255, jnp.uint8
@@ -308,20 +319,22 @@ def bench_full_stack(batch: int = 8, iters: int = 4):
 
     # compile
     t0 = time.time()
-    bs2, acts = system_step(bstate, rgb, jnp.int32(0), jax.random.PRNGKey(3))
+    bs2, acts = system_step(*params3, bstate, rgb, jnp.int32(0), jax.random.PRNGKey(3))
     _sync(acts)
     timings["compile_s"] = round(time.time() - t0, 1)
 
-    # component timings (each jitted separately, one batched call)
-    comp = jax.jit(lambda r: itm_model.cosine_cached_text(itm_model.preprocess(r), text_feats))
+    # component timings: the class entry points are already jitted with
+    # params as traced args — do NOT wrap them in another jit (that would
+    # re-capture the weights as constants).
+    comp = lambda r: itm_model.cosine_cached_text(itm_model.preprocess(r), text_feats)
     _sync(comp(rgb))
     t0 = time.time(); _sync(comp(rgb)); timings["itm_ms_per_batch"] = round(1e3 * (time.time() - t0), 1)
-    det = jax.jit(lambda r: detector.detect(detector.preprocess(r), qids, qmask)[1])
+    det = lambda r: detector.detect(detector.preprocess(r), qids, qmask)[1]
     _sync(det(rgb))
     t0 = time.time(); _sync(det(rgb)); timings["detector_ms_per_batch"] = round(1e3 * (time.time() - t0), 1)
-    seg = jax.jit(lambda r: sam.segment_boxes(
+    seg = lambda r: sam.segment_boxes(
         jax.image.resize(r.astype(jnp.float32), (batch, sam_size, sam_size, 3), "linear"),
-        jnp.tile(jnp.asarray([[[0.2, 0.2, 0.8, 0.8]]]), (batch, k, 1)))[0])
+        jnp.tile(jnp.asarray([[[0.2, 0.2, 0.8, 0.8]]]), (batch, k, 1)))[0]
     _sync(seg(rgb))
     t0 = time.time(); _sync(seg(rgb)); timings["sam_ms_per_batch"] = round(1e3 * (time.time() - t0), 1)
 
@@ -329,7 +342,7 @@ def bench_full_stack(batch: int = 8, iters: int = 4):
     t0 = time.time()
     bs = bstate
     for i in range(iters):
-        bs, acts = system_step(bs, rgb, jnp.int32(i), jax.random.PRNGKey(10 + i))
+        bs, acts = system_step(*params3, bs, rgb, jnp.int32(i), jax.random.PRNGKey(10 + i))
     _sync(acts)
     dt = time.time() - t0
     return batch * iters / dt, timings

@@ -139,7 +139,11 @@ class HabitatVLFMAgent:
 
     def act(self, obs: Dict[str, Any]) -> int:
         target = self.adapter.target_object(obs)
-        cosines, masks, valid = self.perceive(np.asarray(obs["rgb"]), target)
+        out = self.perceive(np.asarray(obs["rgb"]), target)
+        # perception may return an inferred object depth as a 4th element
+        # (the all-ones-depth monocular trigger, base_objectnav_policy.py:314-318)
+        cosines, masks, valid = out[:3]
+        obj_depth = out[3] if len(out) > 3 and out[3] is not None else None
         self._rng, sub = jax.random.split(self._rng)
         action, info, self.state = itm.step(
             self.state,
@@ -148,6 +152,7 @@ class HabitatVLFMAgent:
             jnp.asarray(masks),
             jnp.asarray(valid),
             sub,
+            object_depth=None if obj_depth is None else jnp.asarray(obj_depth),
             pointnav=self.pointnav,
             spec=self.spec,
             cfg=self.cfg,

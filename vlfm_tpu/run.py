@@ -58,11 +58,24 @@ def main() -> None:
         pointnav = "greedy"
 
     if args.backend == "habitat":
-        raise SystemExit(
-            "habitat backend: habitat-lab is not installed in this environment; "
-            "use vlfm_tpu.adapters.habitat.HabitatVLFMAgent from your habitat "
-            "eval loop, or run --backend synthetic"
+        # The eval loop itself is habitat-free (runner/habitat_eval.py,
+        # fully covered by tests over FakeHabitatEnv); only the env
+        # construction needs habitat-lab and fails at `import habitat`.
+        from vlfm_tpu.adapters.habitat import HabitatVLFMAgent
+        from vlfm_tpu.runner.full_stack import FullStackPerception
+        from vlfm_tpu.runner.habitat_eval import evaluate, make_habitat_env
+
+        agent = HabitatVLFMAgent(
+            cfg, spec, pointnav, FullStackPerception(cfg), version=args.version
         )
+        results = evaluate(
+            lambda i: make_habitat_env(args.config),
+            agent,
+            args.episodes,
+            log_dir=args.log_dir,
+        )
+        print(json.dumps(metrics.aggregate(results), indent=2))
+        return
     if args.backend == "reality":
         raise SystemExit(
             "reality backend requires the Boston Dynamics SDK; construct "

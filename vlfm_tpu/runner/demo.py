@@ -33,6 +33,12 @@ def main() -> None:
         help="write per-episode obstacle/value map renders and a composed "
         "frame to this directory",
     )
+    parser.add_argument(
+        "--save-video",
+        default=None,
+        help="write a per-episode mp4 (egocentric view + live maps) to this "
+        "directory",
+    )
     args = parser.parse_args()
 
     import jax
@@ -73,21 +79,46 @@ def main() -> None:
     results = []
     for ep in range(args.episodes):
         env = FakeObjectNavEnv(make_plan(seed=ep), env_cfg)
+        import numpy as np
+
+        from vlfm_tpu.utils import visualization as VIS
+        from vlfm_tpu.utils.video import VideoCollector, write_video
+
         trail = []
         last = {}
+        collector = VideoCollector() if args.save_video else None
 
-        def on_step(env_, o, info, _trail=trail, _last=last):
+        def render_maps(st, ds=4):
+            obst = np.asarray(spec.crop_logical(st.obstacle.obstacles))[::ds, ::ds]
+            nav = np.asarray(spec.crop_logical(st.obstacle.navigable))[::ds, ::ds]
+            expl = np.asarray(spec.crop_logical(st.obstacle.explored))[::ds, ::ds]
+            vals = np.asarray(spec.crop_logical(st.value.values))[::ds, ::ds]
+            return [
+                VIS.render_obstacle_map(obst, nav, expl),
+                VIS.render_value_map(vals.max(axis=-1), spec),
+            ]
+
+        def on_step(env_, o, info, st, _trail=trail, _last=last):
             _trail.append(np.array([env_.x, env_.y]))
             _last["obs"] = o
             _last["yaw"] = env_.yaw
-
-        import numpy as np
+            if collector is not None:
+                collector.collect(o["rgb"], o["depth"], render_maps(st))
 
         result, stats = run_episode(
             env, pointnav, spec, cfg, seed=ep,
-            on_step=on_step if args.save_dir else None,
+            on_step=on_step if (args.save_dir or args.save_video) else None,
             keep_state=bool(args.save_dir),
         )
+        if collector is not None:
+            import os
+
+            os.makedirs(args.save_video, exist_ok=True)
+            path = write_video(
+                collector.flush(result.failure_cause),
+                f"{args.save_video}/ep{ep}.mp4",
+            )
+            print(f"wrote {path}")
         if args.save_dir:
             import os
 

@@ -318,7 +318,7 @@ def run_episode(
         target_seen = target_seen or o["target_visible"]
         target_detected = target_detected or bool(info.target_detected)
         if on_step is not None:
-            on_step(env, o, info)
+            on_step(env, o, info, state)
         o = env.step(int(action))
         stats.env_steps += 1
     stats.wall_time = time.time() - t0
