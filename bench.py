@@ -211,7 +211,7 @@ def bench_mapping_pipeline(batch: int = 16, horizon: int = 12) -> float:
 # --------------------------------------------------------------------------
 # FULL STACK: production-size perception in the step cadence
 # --------------------------------------------------------------------------
-def bench_full_stack(batch: int = 8, iters: int = 4):
+def bench_full_stack(batch: int = 16, iters: int = 4):
     import jax
     import jax.numpy as jnp
 
@@ -228,22 +228,39 @@ def bench_full_stack(batch: int = 8, iters: int = 4):
     cam = cfg.camera
     k = cfg.max_detections_per_frame
 
-    def bf16(tree):
+    def fast_params(init_fn, *args):
+        """Shape-only init -> constant-filled bf16 params on device. Weight
+        CONTENT never changes the compiled program or its FLOPs, and running
+        the real initializer programs for 1.3B params over the tunneled chip
+        costs ~10 minutes; this costs milliseconds."""
+        shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0), *args)["params"]
         return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+            lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes
         )
 
     timings = {}
 
     t0 = time.time()
-    itm_model = BLIP2ITM.init_random(BLIP2ITMConfig(), seed=0)  # EVA ViT-g, 1.17B
-    itm_model.params = bf16(itm_model.params)
-    detector = OwlViTDetector.init_random(
-        OwlViTDetConfig(compute_dtype=jnp.bfloat16), seed=0
+    icfg = BLIP2ITMConfig()  # EVA ViT-g, 1.17B
+    itm_model = BLIP2ITM(icfg, None)
+    s = icfg.vit.image_size
+    itm_model.params = fast_params(
+        itm_model.module.init, jnp.zeros((1, s, s, 3)),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool),
     )
-    detector.params = bf16(detector.params)
-    sam = SAM.init_random(SamConfig.mobile_sam(), seed=0)  # TinyViT @ 1024
-    sam.params = bf16(sam.params)
+    dcfg = OwlViTDetConfig(compute_dtype=jnp.bfloat16)
+    detector = OwlViTDetector(dcfg, None)
+    s = dcfg.vision.image_size
+    detector.params = fast_params(
+        detector.module.init, jnp.zeros((1, s, s, 3)),
+        jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool),
+    )
+    scfg = SamConfig.mobile_sam()  # TinyViT @ 1024
+    sam = SAM(scfg, None)
+    s = scfg.vision.image_size
+    sam.params = fast_params(
+        sam.module.init, jnp.zeros((1, s, s, 3)), jnp.zeros((1, 1, 4))
+    )
     timings["model_init_s"] = round(time.time() - t0, 1)
 
     pointnav, bstate = _policy_setup(cfg, spec, batch)

@@ -38,12 +38,20 @@ def test_env_raycast_consistency():
 
 
 def test_metrics_failure_taxonomy():
+    # reference tree (episode_stats_logger.py:53-55): false_positive requires
+    # target_detected + the nav-goal-outside-target-bbox test
+    r = M.compute_result(
+        called_stop=True, distance_to_goal=3.0, success_radius=1.0,
+        shortest_path=5.0, path_length=6.0, steps=50, max_steps=500,
+        target_detected=True, target_seen=False, false_positive=True,
+    )
+    assert not r.success and r.failure_cause == "false_positive"
     r = M.compute_result(
         called_stop=True, distance_to_goal=3.0, success_radius=1.0,
         shortest_path=5.0, path_length=6.0, steps=50, max_steps=500,
         target_detected=False, target_seen=False,
     )
-    assert not r.success and r.failure_cause == "false_positive"
+    assert r.failure_cause == "never_saw_target_did_not_travel_stairs_feasible"
     r = M.compute_result(
         called_stop=False, distance_to_goal=3.0, success_radius=1.0,
         shortest_path=5.0, path_length=6.0, steps=500, max_steps=500,

@@ -289,11 +289,15 @@ def run_episode(
     keep_state: bool = False,
 ) -> tuple:
     """Run one episode to completion. Returns (EpisodeResult, DriverStats)."""
+    from vlfm_tpu.utils.measurements import TraveledStairs
+
     o = env.reset()
     state = itm.create_state(spec, cfg)
     stats = DriverStats()
     target_seen = False
     target_detected = False
+    stairs = TraveledStairs()
+    last_goal = None
     limit = max_steps or env.cfg.max_steps
 
     shortest = env.shortest_path_length()
@@ -301,6 +305,7 @@ def run_episode(
     while not o["done"] and env.steps < limit:
         # per-(episode, step) key — matches the recycled driver's stream
         sub = _step_key(seed, stats.env_steps)
+        stairs.update(o.get("agent_z", 0.0))
         obs = _obs_from_env(o, cfg)
         masks, mvalid = _masks_from_env(o, cfg)
         action, info, state = itm.step(
@@ -319,11 +324,24 @@ def run_episode(
         target_detected = target_detected or bool(info.target_detected)
         if on_step is not None:
             on_step(env, o, info, state)
+        last_goal = np.asarray(info.goal)
         o = env.step(int(action))
         stats.env_steps += 1
     stats.wall_time = time.time() - t0
     if keep_state:
         stats.final_state = state
+
+    # reference-form taxonomy inputs (episode_stats_logger.py:44-111):
+    # map-based 'seen' (explored area covers the target) and the
+    # nav-goal-in-target-bbox false-positive test
+    target = getattr(env.plan, "target", None) if hasattr(env, "plan") else None
+    seen_map = (
+        M.was_target_seen(state.obstacle.explored, spec, target)
+        if target is not None else False
+    )
+    fp = None
+    if target is not None and target_detected and last_goal is not None:
+        fp = M.was_false_positive(last_goal, target, env.plan.target_radius)
 
     result = M.compute_result(
         called_stop=env.called_stop,
@@ -334,7 +352,10 @@ def run_episode(
         steps=env.steps,
         max_steps=limit,
         target_detected=target_detected,
-        target_seen=target_seen,
+        target_seen=target_seen or seen_map,
         collisions=env.collisions,
+        false_positive=fp,
+        traveled_stairs=stairs.traveled_stairs,
+        feasible=getattr(env, "path_feasible", True),
     )
     return result, stats

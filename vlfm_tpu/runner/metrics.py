@@ -41,6 +41,9 @@ def compute_result(
     target_detected: bool,
     target_seen: bool,
     collisions: int = 0,
+    false_positive: Optional[bool] = None,
+    traveled_stairs: bool = False,
+    feasible: bool = True,
 ) -> EpisodeResult:
     success = called_stop and distance_to_goal <= success_radius
     denom = max(path_length, shortest_path, 1e-6)
@@ -53,11 +56,18 @@ def compute_result(
     cause = None
     if not success:
         cause = determine_failure_cause(
-            called_stop=called_stop,
-            timeout=steps >= max_steps,
             target_detected=target_detected,
+            false_positive=(
+                false_positive
+                if false_positive is not None
+                # fallback when no nav-goal/bbox test is available: a stop far
+                # from the goal counts as a false positive
+                else (called_stop and distance_to_goal > success_radius)
+            ),
+            stop_called=called_stop,
             target_seen=target_seen,
-            close=distance_to_goal <= success_radius,
+            traveled_stairs=traveled_stairs,
+            feasible=feasible,
         )
     return EpisodeResult(
         success=success,
@@ -76,31 +86,59 @@ def compute_result(
 
 def determine_failure_cause(
     *,
-    called_stop: bool,
-    timeout: bool,
     target_detected: bool,
+    false_positive: bool,
+    stop_called: bool,
     target_seen: bool,
-    close: bool,
+    traveled_stairs: bool,
+    feasible: bool,
 ) -> str:
-    """Reduced form of the reference's taxonomy (episode_stats_logger.py:44-72):
+    """The reference's decision tree, full form (episode_stats_logger.py:44-72):
 
-    - false_positive: stopped at something that was not the target
-    - bad_stop_true_positive: detected the real target but stopped too early
-    - timeout_true_positive: detected the real target but ran out of steps
-    - false_negative: saw the target but never detected it
-    - never_saw_target: exploration never brought the target into view
+    target_detected -> false_positive | bad_stop_true_positive |
+                       timeout_true_positive
+    else            -> false_negative (target area explored, never detected) |
+                       never_saw_target_{traveled_stairs|did_not_travel_stairs}
+                       _{feasible|likely_infeasible}
     """
-    if called_stop and not close:
-        return "false_positive" if not (target_detected and target_seen) else "bad_stop_true_positive"
-    if timeout and target_detected and target_seen:
-        return "timeout_true_positive"
-    if timeout and target_seen:
+    if target_detected:
+        if false_positive:
+            return "false_positive"
+        return "bad_stop_true_positive" if stop_called else "timeout_true_positive"
+    if target_seen:
         return "false_negative"
-    if timeout:
-        return "never_saw_target"
-    if called_stop and close:
-        return "stopped_near_goal_unsuccessfully"
-    return "unknown"
+    cause = (
+        "never_saw_target_traveled_stairs"
+        if traveled_stairs
+        else "never_saw_target_did_not_travel_stairs"
+    )
+    return cause + ("_feasible" if feasible else "_likely_infeasible")
+
+
+def was_target_seen(explored_map, spec, target_xy, dilate_px: int = 10) -> bool:
+    """Map-based 'seen' test: explored area overlaps the (dilated) target
+    bbox (episode_stats_logger.py:75-81). ``explored_map`` is the policy's
+    explored grid (storage layout), ``target_xy`` world meters."""
+    import numpy as np
+
+    expl = np.asarray(explored_map)
+    rc = np.asarray(spec.to_storage(spec.xy_to_px(np.asarray(target_xy, np.float32))))
+    r0 = max(int(rc[0]) - dilate_px, 0)
+    c0 = max(int(rc[1]) - dilate_px, 0)
+    window = expl[r0 : int(rc[0]) + dilate_px + 1, c0 : int(rc[1]) + dilate_px + 1]
+    return bool(window.any())
+
+
+def was_false_positive(nav_goal_xy, target_xy, target_radius: float,
+                       margin_m: float = 0.5) -> bool:
+    """Nav-goal-inside-target-bbox test (episode_stats_logger.py:84-111):
+    the final navigation goal must fall within the target's (margined)
+    footprint to count as a true positive."""
+    import numpy as np
+
+    d = float(np.linalg.norm(np.asarray(nav_goal_xy, float)[:2]
+                             - np.asarray(target_xy, float)[:2]))
+    return d > target_radius + margin_m
 
 
 def aggregate(results) -> dict:
