@@ -211,7 +211,7 @@ def bench_mapping_pipeline(batch: int = 16, horizon: int = 12) -> float:
 # --------------------------------------------------------------------------
 # FULL STACK: production-size perception in the step cadence
 # --------------------------------------------------------------------------
-def bench_full_stack(batch: int = 16, iters: int = 4):
+def bench_full_stack(batch: int = 32, iters: int = 4):
     import jax
     import jax.numpy as jnp
 

@@ -46,6 +46,7 @@ SLOW_FILES = {
     "test_policy_v1.py",
     "test_prune_equivalence.py",
     "test_runner.py",
+    "test_semexp.py",
     "test_recycled_driver.py",
     "test_sam.py",
     "test_swin.py",

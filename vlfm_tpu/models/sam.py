@@ -78,7 +78,7 @@ class SamConfig:
         (reference: vlfm/vlm/sam.py:24-57, mobile_sam package)."""
         from vlfm_tpu.models.tinyvit import TinyViTConfig
 
-        tv = TinyViTConfig()
+        tv = TinyViTConfig(compute_dtype=jnp.bfloat16)
         return SamConfig(
             vision=SamVisionConfig(image_size=tv.img_size, patch_size=16,
                                    out_channels=tv.out_channels),

@@ -42,6 +42,7 @@ class TinyViTConfig:
     mlp_ratio: float = 4.0
     mbconv_expand: float = 4.0
     out_channels: int = 256  # SAM neck output
+    compute_dtype: Any = None  # e.g. jnp.bfloat16; attention softmax stays f32
 
     @staticmethod
     def tiny() -> "TinyViTConfig":
@@ -204,6 +205,8 @@ class TinyViT(nn.Module):
     @nn.compact
     def __call__(self, images):
         c = self.cfg
+        if c.compute_dtype is not None:
+            images = images.astype(c.compute_dtype)
         n0 = c.embed_dims[0]
         x = nn.gelu(
             ConvBN(n0 // 2, 3, stride=2, name="patch_embed1")(images), approximate=False
