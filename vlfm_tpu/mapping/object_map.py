@@ -34,7 +34,6 @@ from vlfm_tpu.ops.clustering import largest_cluster_mask
 from vlfm_tpu.ops.morphology import erode_repeated_3x3
 from vlfm_tpu.utils.geometry import (
     extract_yaw,
-    get_point_cloud,
     transform_points,
     within_fov_cone,
 )
@@ -88,17 +87,15 @@ def _too_offset(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _subsample(rng, valid_flat: jnp.ndarray, budget: int) -> jnp.ndarray:
-    """Pick up to ``budget`` indices among valid entries, uniformly at random.
+    """Pick up to ``budget`` indices among valid entries, uniformly at random
+    (stratified sampling via cumsum + binary search — a full-array random
+    argsort costs a 307200-element sort per detection slot on TPU).
 
     Returns (budget,) indices and a (budget,) keep-mask.
     """
-    n = valid_flat.shape[0]
-    noise = jax.random.uniform(rng, (n,))
-    score = jnp.where(valid_flat, noise, 2.0)  # invalid sink to the end
-    order = jnp.argsort(score)
-    idx = order[:budget]
-    keep = valid_flat[idx]
-    return idx, keep
+    from vlfm_tpu.ops.sparse import stratified_valid_sample
+
+    return stratified_valid_sample(valid_flat, budget, rng)
 
 
 @partial(jax.jit, static_argnames=("erosion_size", "use_dbscan"))
@@ -120,14 +117,23 @@ def update(
 ) -> ObjectMapState:
     """Insert one detection into a slot (no-op when it fails the filters)."""
     d_slots, m = state.points.shape[:2]
+    h, w = depth.shape
     eroded = erode_repeated_3x3(object_mask, erosion_size)
 
     depth_far = jnp.where(depth == 0, 1.0, depth)
     scaled = depth_far * (max_depth - min_depth) + min_depth
-    pts_cam, valid = get_point_cloud(scaled, eroded, fx, fy)
 
-    idx, keep = _subsample(rng, valid, m)
-    cloud_cam = pts_cam[idx]
+    # Sample pixel indices FIRST, then back-project only those m points —
+    # materializing the full (H*W, 3) cloud per detection slot costs ~1 GB of
+    # HBM traffic per batched step (get_point_cloud stays the reference-parity
+    # path for full-cloud consumers).
+    idx, keep = _subsample(rng, eroded.reshape(-1), m)
+    v = (idx // w).astype(scaled.dtype)
+    u = (idx % w).astype(scaled.dtype)
+    z = scaled.reshape(-1)[idx]
+    x = (u - w // 2) * z / fx
+    y = (v - h // 2) * z / fy
+    cloud_cam = jnp.stack([z, -x, -y], axis=-1)  # camera frame, see get_point_cloud
 
     if use_dbscan:
         min_pts = jnp.maximum(

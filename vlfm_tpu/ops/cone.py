@@ -77,8 +77,14 @@ def visible_confidence_window(
     radial = jnp.sqrt(fwd * fwd + left * left)
 
     # Per-bearing forward depth limit, interpolated from the image columns.
-    col_angles = jnp.linspace(-fov / 2, fov / 2, w)
-    z_limit = jnp.interp(phi, col_angles, depth_row_m)
+    # The column-angle grid is UNIFORM, so interpolation is direct index
+    # arithmetic + one lerp — jnp.interp's binary search would cost ~10
+    # serialized gather rounds per pixel on TPU.
+    u = jnp.clip((phi + fov / 2) / fov * (w - 1), 0.0, w - 1.0)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, w - 1)
+    frac = u - i0.astype(u.dtype)
+    z_limit = depth_row_m[i0] * (1.0 - frac) + depth_row_m[i1] * frac
 
     half_px = 0.5 / pps  # half-pixel tolerance vs. the rasterized contour
     visible = (
