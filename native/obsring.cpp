@@ -13,11 +13,14 @@
 //  - slot:   atomic sequence + payload_len + payload
 //  - push:   ticket = fetch_add(1); slot = ticket % n_slots;
 //            seq.store(WRITING); memcpy; seq.store(2*ticket+2) [release]
-//  - poll:   consumer scans slots for seq values it has not consumed yet
-//            (seq monotonically encodes the ticket), copies payloads out,
-//            re-checks seq to detect torn reads (seqlock validate).
-// Overwrite semantics: a slow consumer loses the oldest records (the ring
-// is sized for worst-case burst; observation streams prefer freshness).
+//  - poll:   consumer walks tickets IN ORDER from its cursor, copies ready
+//            payloads out, re-checks seq to detect torn reads (seqlock
+//            validate), and STOPS at the first ticket still being written —
+//            an in-flight record is retried on the next poll, never dropped.
+// Overwrite semantics: a slow consumer loses the oldest records to writer
+// laps (the ring is sized for worst-case burst); a producer that dies
+// mid-push stalls delivery of newer tickets, which the driver bounds with
+// its own watchdog.
 //
 // Build: see native/Makefile (g++ -O2 -shared -fPIC).
 
@@ -148,9 +151,16 @@ int64_t obsring_push(void* h, const uint8_t* data, uint64_t len) {
   return (int64_t)ticket;
 }
 
-// Drain all records with ticket >= *cursor into out (max_records rows of
+// Drain records with ticket >= *cursor into out (max_records rows of
 // slot_bytes each; lens[i] receives payload length, tickets[i] the ticket).
-// Advances *cursor past the newest consumed record. Returns count.
+// IN-ORDER: stops at the first ticket whose slot is not yet published
+// (writer mid-memcpy) and leaves *cursor there, so a record in flight is
+// retried on the next poll, never dropped. Only records genuinely
+// OVERWRITTEN by a writer lapping the ring (seq advanced past the ticket)
+// are skipped. A mid-copy record used to be skipped with the cursor
+// advanced past it — with MB-size records the consumer's tight poll loop
+// reliably landed inside the producer's memcpy window and the record (and
+// the worker waiting on its reply) was lost forever. Returns count.
 int64_t obsring_poll(void* h, uint64_t* cursor, uint8_t* out, uint64_t* lens,
                      uint64_t* tickets, uint64_t max_records) {
   Ring* r = (Ring*)h;
@@ -163,27 +173,28 @@ int64_t obsring_poll(void* h, uint64_t* cursor, uint8_t* out, uint64_t* lens,
 
   uint64_t stride = r->header->slot_bytes;
   int64_t count = 0;
-  for (uint64_t t = start; t < newest && (uint64_t)count < max_records; ++t) {
+  uint64_t t = start;
+  for (; t < newest && (uint64_t)count < max_records; ++t) {
     SlotHeader* s = slot_at(r, t % n_slots);
     uint64_t seq1 = s->seq.load(std::memory_order_acquire);
-    if (seq1 != 2 * t + 2) continue;  // overwritten or still being written
+    uint64_t ready = 2 * t + 2;
+    if (seq1 < ready) break;     // ticket t not yet published: retry next poll
+    if (seq1 > ready) continue;  // lapped: record lost to overwrite, skip
     uint64_t len = s->len;
     if (len > stride) continue;
     memcpy(out + (uint64_t)count * stride,
            reinterpret_cast<uint8_t*>(s) + sizeof(SlotHeader), len);
     std::atomic_thread_fence(std::memory_order_acquire);
     uint64_t seq2 = s->seq.load(std::memory_order_acquire);
-    if (seq2 != seq1) continue;  // torn read: writer lapped us, discard
+    if (seq2 != seq1) {
+      if (seq2 < ready) break;  // defensive: seq is monotonic, retry
+      continue;                 // writer lapped us mid-read: discard
+    }
     lens[count] = len;
     tickets[count] = t;
     ++count;
-    *cursor = t + 1;
   }
-  if (*cursor < newest && (uint64_t)count == max_records) {
-    // partial drain: cursor already points at the next unread ticket
-  } else {
-    *cursor = newest;
-  }
+  *cursor = t;
   return count;
 }
 

@@ -48,6 +48,8 @@ SLOW_FILES = {
     "test_runner.py",
     "test_semexp.py",
     "test_recycled_driver.py",
+    "test_zoedepth.py",
+    "test_sim_farm.py",
     "test_sam.py",
     "test_swin.py",
     "test_t5_vqa.py",

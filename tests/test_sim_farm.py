@@ -1,0 +1,81 @@
+"""Async sim farm: shm-ring-fed worker processes must reproduce the
+synchronous drivers' results exactly (scheduling independence), and the
+driver must actually overlap device dispatches.
+
+Replaces the reference's VectorEnv + HTTP/lockfile concurrency
+(vlfm/utils/vlfm_trainer.py:99-105, vlfm/vlm/server_wrapper.py:88-119).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from vlfm_tpu.config import CameraConfig, VLFMConfig  # noqa: E402
+from vlfm_tpu.mapping.grid import GridSpec2D  # noqa: E402
+from vlfm_tpu.runner.episode_driver import run_episodes_recycled  # noqa: E402
+from vlfm_tpu.runner.fake_env import EnvConfig, FakeObjectNavEnv, open_room_plan  # noqa: E402
+from vlfm_tpu.runner.obsring import ObservationRing  # noqa: E402
+from vlfm_tpu.runner import sim_farm  # noqa: E402
+
+CFG = VLFMConfig(camera=CameraConfig(height=96, width=128),
+                 max_frontiers=16, max_frontier_cells=256,
+                 object_map_slots=8, object_map_points_per_slot=128)
+SPEC = GridSpec2D(size=512, pixels_per_meter=20, pad=160)
+ENV = EnvConfig(width=128, height=96, max_steps=48)
+
+needs_native = pytest.mark.skipif(
+    not ObservationRing.available(), reason="native obsring unavailable"
+)
+
+
+def test_obs_record_roundtrip():
+    env = FakeObjectNavEnv(open_room_plan(seed=3), ENV)
+    o = env.reset()
+    rec = sim_farm.pack_obs(lane=5, seed=3, step=0, o=o)
+    assert len(rec) <= sim_farm.obs_slot_bytes(ENV.height, ENV.width)
+    back = sim_farm.unpack_obs(rec, ENV.height, ENV.width)
+    assert back["lane"] == 5 and back["seed"] == 3 and back["step"] == 0
+    np.testing.assert_array_equal(back["depth"], np.asarray(o["depth"], np.float32))
+    np.testing.assert_array_equal(back["target_mask"], np.asarray(o["target_mask"], bool))
+    assert back["target_visible"] == o["target_visible"]
+    assert abs(back["cosine"] - o["cosine"]) < 1e-7
+    np.testing.assert_allclose(back["robot_xy"], o["robot_xy"], rtol=0, atol=0)
+
+
+@needs_native
+def test_farm_matches_recycled_driver():
+    seeds = [0, 1, 2, 3, 4, 5]
+    farm, stats = sim_farm.run_episodes_farm(
+        seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        ring_prefix="vlfm_test_farm",
+    )
+    assert set(farm) == set(seeds)
+    assert stats.env_steps == sum(r.steps for r in farm.values())
+
+    recycled, _ = run_episodes_recycled(
+        lambda s: FakeObjectNavEnv(open_room_plan(seed=s), ENV),
+        seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=CFG,
+    )
+    for s in seeds:
+        a, b = farm[s], recycled[s]
+        assert a.success == b.success, f"seed {s}: success diverged"
+        assert a.steps == b.steps, f"seed {s}: step count diverged"
+        assert abs(a.spl - b.spl) < 1e-6, f"seed {s}: spl diverged"
+        assert a.target_detected == b.target_detected, f"seed {s}"
+        assert a.target_seen == b.target_seen, f"seed {s}"
+
+
+@needs_native
+def test_farm_overlaps_groups():
+    """With two groups and two workers the driver should issue at least one
+    dispatch while the other group is still in flight."""
+    seeds = list(range(4))
+    _, stats = sim_farm.run_episodes_farm(
+        seeds, lanes=4, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        ring_prefix="vlfm_test_farm2",
+    )
+    assert stats.dispatches > 0
+    assert stats.overlapped > 0

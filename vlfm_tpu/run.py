@@ -25,6 +25,12 @@ def main() -> None:
     p.add_argument("--max-steps", type=int, default=500)
     p.add_argument("--version", choices=["v1", "v2", "v3"], default="v2")
     p.add_argument("--controller", choices=["neural", "greedy"], default="greedy")
+    p.add_argument(
+        "--farm", type=int, default=0, metavar="LANES",
+        help="synthetic backend: run LANES episode lanes fed by sim worker "
+        "processes over the native shm ring (runner/sim_farm.py)",
+    )
+    p.add_argument("--farm-workers", type=int, default=2)
     p.add_argument("--pointnav-weights", default=None, help="torch .pth to convert")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--cpu", action="store_true")
@@ -89,6 +95,23 @@ def main() -> None:
     env_cfg = EnvConfig(
         width=cfg.camera.width, height=cfg.camera.height, max_steps=args.max_steps
     )
+    if args.farm:
+        from vlfm_tpu.runner.sim_farm import run_episodes_farm
+
+        results_map, stats = run_episodes_farm(
+            list(range(args.episodes)), lanes=args.farm, pointnav=pointnav,
+            spec=spec, cfg=cfg, plan_name="two_room_plan", env_cfg=env_cfg,
+            workers=args.farm_workers, version=args.version,
+            max_steps=args.max_steps,
+        )
+        results = [results_map[s] for s in sorted(results_map)]
+        print(
+            f"farm: {stats.env_steps} env steps in {stats.wall_time:.1f}s "
+            f"({stats.steps_per_sec:.2f} steps/s, "
+            f"{stats.overlapped}/{stats.dispatches} overlapped dispatches)"
+        )
+        print(json.dumps(metrics.aggregate(results), indent=2))
+        return
     results = []
     for ep in range(args.episodes):
         if args.log_dir and not log_saver.claim_episode(ep, "two_room", args.log_dir):

@@ -1,0 +1,472 @@
+"""Async episode farm: sim worker PROCESSES feed the device over shared memory.
+
+This assembles the native obsring (native/obsring.cpp) into the episode
+driver, replacing the reference's concurrency stack — habitat VectorEnv
+pickle pipes plus per-request JPEG-base64 HTTP with filesystem lockfiles
+(vlfm/vlm/server_wrapper.py:57-164, vlfm/utils/vlfm_trainer.py:99-105) — with
+a host pipeline shaped for a TPU driver process:
+
+- W worker processes each own a set of episode lanes; they run the (numpy)
+  environment, memcpy fixed-layout observation records into a POSIX shm ring,
+  and poll a second ring for the actions addressed to their lanes.
+- The single driver process drains whole observation batches with zero
+  syscalls on the hot path, runs the jitted vmapped policy step, and pushes
+  tiny action records back.
+- Lanes are split into TWO groups with independent device state, dispatched
+  ping-pong: while group A's step executes on the chip, group B's workers are
+  stepping their simulators — host sim time and device time overlap instead
+  of serializing (the round-1 driver alternated them strictly).
+
+Scheduling independence: per-(episode-seed, step) rng keys and per-lane state
+resets make every episode's result identical to the synchronous drivers'
+(tests/test_sim_farm.py pins farm == recycled == single-episode).
+
+Workers never import jax; the records carry f32 depth so device inputs are
+bit-identical to the in-process path.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import struct
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vlfm_tpu.runner import fake_env as FE
+from vlfm_tpu.runner.obsring import ObservationRing
+
+# record kinds (worker -> driver ring)
+KIND_OBS = 0
+KIND_RESULT = 1
+
+_OBS_HEAD = struct.Struct("<IIIIIfffff")  # lane kind seed step flags heading x y dist agent_z
+_ACT_REC = struct.Struct("<IIIi")  # lane seed step action
+_RES_REC = struct.Struct("<IIIIIIIfff")  # lane kind seed called_stop collisions steps seen dist shortest path_len
+
+FLAG_DONE = 1
+FLAG_TARGET_VISIBLE = 2
+
+
+def obs_slot_bytes(height: int, width: int) -> int:
+    return _OBS_HEAD.size + 4 * height * width + (height * width + 7) // 8
+
+
+def pack_obs(lane: int, seed: int, step: int, o: dict) -> bytes:
+    flags = (FLAG_DONE if o["done"] else 0) | (
+        FLAG_TARGET_VISIBLE if o["target_visible"] else 0
+    )
+    head = _OBS_HEAD.pack(
+        lane, KIND_OBS, seed, step, flags,
+        float(o["heading"]), float(o["robot_xy"][0]), float(o["robot_xy"][1]),
+        float(o["distance_to_goal"]), float(o["cosine"]),
+    )
+    depth = np.ascontiguousarray(o["depth"], np.float32).tobytes()
+    mask = np.packbits(np.asarray(o["target_mask"], bool)).tobytes()
+    return head + depth + mask
+
+
+def unpack_obs(payload: bytes, height: int, width: int) -> dict:
+    lane, kind, seed, step, flags, heading, x, y, dist, cosine = _OBS_HEAD.unpack_from(
+        payload, 0
+    )
+    assert kind == KIND_OBS
+    off = _OBS_HEAD.size
+    depth = np.frombuffer(payload, np.float32, height * width, off).reshape(height, width)
+    off += 4 * height * width
+    nbits = (height * width + 7) // 8
+    mask = np.unpackbits(np.frombuffer(payload, np.uint8, nbits, off))[: height * width]
+    return {
+        "lane": lane,
+        "seed": seed,
+        "step": step,
+        "done": bool(flags & FLAG_DONE),
+        "target_visible": bool(flags & FLAG_TARGET_VISIBLE),
+        "heading": heading,
+        "robot_xy": np.array([x, y], np.float32),
+        "distance_to_goal": dist,
+        "cosine": cosine,
+        "depth": depth,
+        "target_mask": mask.reshape(height, width).astype(bool),
+    }
+
+
+def pack_result(lane: int, seed: int, env, seen: bool, dist: float, shortest: float) -> bytes:
+    return _RES_REC.pack(
+        lane, KIND_RESULT, seed, int(env.called_stop), int(env.collisions),
+        int(env.steps), int(seen), float(dist), float(shortest), float(env.path_length),
+    )
+
+
+def record_kind(payload: bytes) -> int:
+    return struct.unpack_from("<I", payload, 4)[0]
+
+
+def worker_main(
+    obs_name: str,
+    act_name: str,
+    lane_ids: Sequence[int],
+    seed_queue: Sequence[int],
+    plan_name: str,
+    env_cfg: "FE.EnvConfig",
+    max_steps: int,
+) -> None:
+    """Sim worker process: owns ``lane_ids``, drains its private seed queue.
+
+    Pure numpy — the worker never touches jax or the device. The plan factory
+    is resolved by name from fake_env so the function pickles under the
+    ``spawn`` start method.
+    """
+    import os
+    import sys
+
+    debug = bool(os.environ.get("VLFM_FARM_DEBUG"))
+
+    def dbg(*a):
+        if debug:
+            print(f"[worker lanes={list(lane_ids)}]", *a, file=sys.stderr, flush=True)
+
+    plan_fn = getattr(FE, plan_name)
+    obs_ring = ObservationRing.open(obs_name)
+    act_ring = ObservationRing.open(act_name)
+    dbg("rings open", obs_ring.slot_bytes, obs_ring.n_slots)
+
+    queue = list(seed_queue)
+    envs: Dict[int, FE.FakeObjectNavEnv] = {}
+    seeds: Dict[int, int] = {}
+    steps: Dict[int, int] = {}
+    seen: Dict[int, bool] = {}
+    shortest: Dict[int, float] = {}
+    active = set()
+
+    def start_episode(lane: int) -> None:
+        s = queue.pop(0)
+        envs[lane] = FE.FakeObjectNavEnv(plan_fn(seed=s), env_cfg)
+        seeds[lane], steps[lane], seen[lane] = s, 0, False
+        shortest[lane] = envs[lane].shortest_path_length()
+        o = envs[lane].reset()
+        seen[lane] = bool(o["target_visible"])
+        t = obs_ring.push(pack_obs(lane, s, 0, o))
+        dbg("pushed initial obs", "lane", lane, "seed", s, "ticket", t)
+        active.add(lane)
+
+    for lane in lane_ids:
+        if queue:
+            start_episode(lane)
+
+    while active:
+        got = act_ring.poll_batch(max_records=64)
+        if not got:
+            time.sleep(0.0005)
+            continue
+        for _, payload in got:
+            lane, seed, step, action = _ACT_REC.unpack(payload)
+            if lane not in active or seed != seeds[lane] or step != steps[lane]:
+                continue  # not ours / stale (pre-recycle) record
+            env = envs[lane]
+            o = env.step(int(action))
+            steps[lane] += 1
+            if o["done"] or steps[lane] >= max_steps:
+                obs_ring.push(
+                    pack_result(
+                        lane, seed, env, seen[lane], o["distance_to_goal"], shortest[lane]
+                    )
+                )
+                active.discard(lane)
+                if queue:
+                    start_episode(lane)
+            else:
+                seen[lane] = seen[lane] or bool(o["target_visible"])
+                obs_ring.push(pack_obs(lane, seed, steps[lane], o))
+
+
+@dataclass
+class FarmStats:
+    env_steps: int = 0
+    wall_time: float = 0.0
+    dispatches: int = 0
+    overlapped: int = 0  # dispatches issued while another group was in flight
+
+    @property
+    def steps_per_sec(self) -> float:
+        return self.env_steps / self.wall_time if self.wall_time else 0.0
+
+
+@dataclass
+class _Lane:
+    seed: int = -1
+    step: int = -1
+    pending: Optional[dict] = None
+    detected: bool = False
+    needs_reset: bool = False
+    active: bool = True
+    last: Optional[dict] = None  # last obs fed to the device (for idle filler)
+    hist: dict = field(default_factory=dict)
+
+
+def run_episodes_farm(
+    episode_seeds: Sequence[int],
+    lanes: int,
+    pointnav,
+    spec,
+    cfg,
+    *,
+    plan_name: str = "two_room_plan",
+    env_cfg: Optional["FE.EnvConfig"] = None,
+    workers: int = 2,
+    version: str = "v2",
+    max_steps: Optional[int] = None,
+    ring_prefix: str = "vlfm_farm",
+):
+    """Drive ``lanes`` episode lanes fed by ``workers`` sim processes.
+
+    Returns ({seed: EpisodeResult}, FarmStats). Requires the native obsring
+    (ObservationRing.available()); callers fall back to run_episodes_recycled.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vlfm_tpu.policy import itm
+    from vlfm_tpu.runner import metrics as M
+    from vlfm_tpu.runner.episode_driver import _obs_from_env, _step_key
+
+    assert lanes % 2 == 0, "lanes must be even (two ping-pong groups)"
+    assert lanes <= len(episode_seeds), "need at least one episode per lane"
+    env_cfg = env_cfg or FE.EnvConfig()
+    limit = max_steps or env_cfg.max_steps
+    h, w = env_cfg.height, env_cfg.width
+    k = cfg.max_detections_per_frame
+    half = lanes // 2
+    groups = [list(range(0, half)), list(range(half, lanes))]
+
+    obs_ring = ObservationRing.create(
+        f"{ring_prefix}_obs", slot_bytes=obs_slot_bytes(h, w), n_slots=4 * lanes + 16
+    )
+    act_ring = ObservationRing.create(
+        f"{ring_prefix}_act", slot_bytes=_ACT_REC.size, n_slots=64 * lanes + 64
+    )
+
+    # split seeds across workers; each worker gets a contiguous lane span so
+    # whole workers stay group-aligned. The first ``lanes`` seeds are assigned
+    # lane-by-lane (guaranteeing every worker can fill all its lanes), the
+    # remainder round-robin.
+    ctx = mp.get_context("spawn")
+    lane_spans = np.array_split(np.arange(lanes), workers)
+    lane_owner = np.concatenate(
+        [np.full(len(span), wi) for wi, span in enumerate(lane_spans)]
+    )
+    seed_splits: List[List[int]] = [[] for _ in range(workers)]
+    seeds_list = list(episode_seeds)
+    for lane in range(lanes):
+        seed_splits[int(lane_owner[lane])].append(seeds_list[lane])
+    for i, s in enumerate(seeds_list[lanes:]):
+        seed_splits[i % workers].append(s)
+    # Workers are numpy-only and must NEVER initialize an accelerator
+    # backend: single-client device tunnels (axon) hang or fail on a second
+    # claim. Spawned children inherit os.environ at start(), so pin the
+    # platform to cpu for the spawn window (the driver's own jax backend is
+    # already initialized by this point).
+    import os
+
+    prev_platforms = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    try:
+        for wi in range(workers):
+            if len(lane_spans[wi]) == 0:
+                continue
+            p = ctx.Process(
+                target=worker_main,
+                args=(
+                    f"{ring_prefix}_obs", f"{ring_prefix}_act",
+                    [int(x) for x in lane_spans[wi]], seed_splits[wi],
+                    plan_name, env_cfg, limit,
+                ),
+                daemon=True,
+            )
+            p.start()
+            procs.append(p)
+    finally:
+        if prev_platforms is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = prev_platforms
+
+    base = itm.create_state(spec, cfg)
+    fresh = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (half, *x.shape)), base)
+    gstate = [jax.tree_util.tree_map(jnp.copy, fresh) for _ in range(2)]
+
+    def one(state, obs, cosines, masks, valid, rng):
+        return itm.step(
+            state, obs, cosines, masks, valid, rng,
+            pointnav=pointnav, spec=spec, cfg=cfg, version=version,
+        )
+
+    step_fn = jax.jit(jax.vmap(one))
+
+    @jax.jit
+    def reset_lanes(bs, mask):
+        def sel(b, f):
+            m = mask.reshape((half,) + (1,) * (b.ndim - 1))
+            return jnp.where(m, f, b)
+
+        return jax.tree_util.tree_map(sel, bs, fresh)
+
+    lane_info = [_Lane() for _ in range(lanes)]
+    results: Dict[int, M.EpisodeResult] = {}
+    expected = len(episode_seeds)
+    inflight: List[Optional[tuple]] = [None, None]
+    pending_results: List[dict] = []
+    stats = FarmStats()
+    t0 = time.time()
+
+    def drain() -> None:
+        for _, payload in obs_ring.poll_batch(max_records=2 * lanes):
+            if record_kind(payload) == KIND_RESULT:
+                (lane, _, seed, called_stop, collisions, steps, seen, dist,
+                 shortest, path_len) = _RES_REC.unpack(payload)
+                pending_results.append(dict(
+                    lane=lane, seed=seed, called_stop=bool(called_stop),
+                    collisions=collisions, steps=steps, seen=bool(seen),
+                    dist=dist, shortest=shortest, path_len=path_len,
+                ))
+            else:
+                o = unpack_obs(payload, h, w)
+                li = lane_info[o["lane"]]
+                if o["seed"] != li.seed:  # recycled: new episode on this lane
+                    li.seed, li.needs_reset, li.detected = o["seed"], True, False
+                li.step = o["step"]
+                li.pending = o
+                li.active = True  # a late recycled obs revives the lane
+
+    def finalize_ready() -> None:
+        # a result is final once the step that produced its last action has
+        # been synced (detected flag complete); results always arrive after
+        # that sync, so flush unconditionally
+        while pending_results:
+            r = pending_results.pop(0)
+            li = lane_info[r["lane"]]
+            results[r["seed"]] = M.compute_result(
+                called_stop=r["called_stop"],
+                distance_to_goal=r["dist"],
+                success_radius=env_cfg.success_radius,
+                shortest_path=r["shortest"],
+                path_length=r["path_len"],
+                steps=r["steps"],
+                max_steps=limit,
+                target_detected=li.hist.get(r["seed"], False),
+                target_seen=r["seen"],
+                collisions=r["collisions"],
+            )
+
+    def can_dispatch(g: int) -> bool:
+        if inflight[g] is not None:
+            return False
+        lanes_g = [lane_info[i] for i in groups[g]]
+        if not any(li.active for li in lanes_g):
+            return False
+        return all(li.pending is not None for li in lanes_g if li.active)
+
+    def dispatch(g: int) -> None:
+        idx = groups[g]
+        obs_rows, reset_mask, rngs, cos = [], [], [], []
+        masks_np = np.zeros((half, k, h, w), bool)
+        valid_np = np.zeros((half, k), bool)
+        meta = []
+        for j, lane in enumerate(idx):
+            li = lane_info[lane]
+            o = li.pending if li.pending is not None else li.last
+            obs_rows.append(_obs_from_env(o, cfg))
+            reset_mask.append(li.needs_reset)
+            rngs.append(_step_key(li.seed, li.step) if li.pending is not None
+                        else _step_key(0, 0))
+            cos.append(np.full((cfg.value_channels,), o["cosine"], np.float32))
+            if o["target_visible"]:
+                masks_np[j, 0] = o["target_mask"]
+                valid_np[j, 0] = True
+            meta.append((lane, li.seed, li.step, li.pending is not None))
+            li.last = o
+            li.needs_reset = False
+            li.pending = None
+        if any(reset_mask):
+            gstate[g] = reset_lanes(gstate[g], jnp.asarray(np.array(reset_mask)))
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_rows)
+        actions, infos, gstate[g] = step_fn(
+            gstate[g], stacked, jnp.asarray(np.stack(cos)),
+            jnp.asarray(masks_np), jnp.asarray(valid_np), jnp.stack(rngs),
+        )
+        inflight[g] = (actions, infos, meta)
+        stats.dispatches += 1
+        if inflight[1 - g] is not None:
+            stats.overlapped += 1
+
+    def sync(g: int) -> None:
+        actions, infos, meta = inflight[g]
+        inflight[g] = None
+        actions_np = np.asarray(jax.device_get(actions))
+        detected_np = np.asarray(jax.device_get(infos.target_detected))
+        for j, (lane, seed, step, live) in enumerate(meta):
+            if not live:
+                continue
+            li = lane_info[lane]
+            li.detected = li.detected or bool(detected_np[j])
+            li.hist[seed] = li.detected
+            act_ring.push(_ACT_REC.pack(lane, seed, step, int(actions_np[j])))
+            stats.env_steps += 1
+
+    import sys as _sys
+    _debug = bool(os.environ.get("VLFM_FARM_DEBUG"))
+    _last_dbg = time.time()
+    try:
+        idle_since = time.time()
+        while len(results) < expected:
+            if _debug and time.time() - _last_dbg > 5:
+                _last_dbg = time.time()
+                print(
+                    f"[farm] results={len(results)}/{expected} "
+                    f"pending={[li.pending is not None for li in lane_info]} "
+                    f"active={[li.active for li in lane_info]} "
+                    f"seeds={[li.seed for li in lane_info]} "
+                    f"inflight={[x is not None for x in inflight]} "
+                    f"dispatches={stats.dispatches} "
+                    f"cursor={obs_ring._cursor.value} "
+                    f"workers={[p.is_alive() for p in procs]}",
+                    file=_sys.stderr, flush=True,
+                )
+            drain()
+            finalize_ready()
+            progressed = False
+            for g in (0, 1):
+                if can_dispatch(g):
+                    dispatch(g)
+                    progressed = True
+            # sync the oldest inflight first so its workers resume while the
+            # other group still occupies the device
+            for g in (0, 1):
+                if inflight[g] is not None:
+                    sync(g)
+                    progressed = True
+            if progressed:
+                idle_since = time.time()
+            else:
+                # lanes whose worker drained its queue go inactive: their
+                # episode result arrived and no fresh obs follows
+                for li in lane_info:
+                    if li.active and li.pending is None and li.seed in results:
+                        li.active = False
+                time.sleep(0.0005)
+                if time.time() - idle_since > 120.0:
+                    raise RuntimeError(
+                        f"sim farm stalled: {len(results)}/{expected} episodes"
+                    )
+        stats.wall_time = time.time() - t0
+    finally:
+        for p in procs:
+            p.join(timeout=10.0)
+            if p.is_alive():
+                p.terminate()
+        obs_ring.close()
+        act_ring.close()
+    return results, stats
