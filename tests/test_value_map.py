@@ -174,3 +174,25 @@ class TestWaypointValues:
         spts, svals, order = VM.sort_waypoints_single_channel(vals, wps, valid)
         assert np.asarray(order).tolist() == [1, 0, 2]
         assert np.asarray(svals)[:2].tolist() == [np.float32(0.9), np.float32(0.1)]
+
+
+class TestRadixMedian:
+    def test_matches_sort_selection_exactly(self):
+        """ops/median.py radix bisection == jnp.sort selection, bit-for-bit."""
+        from vlfm_tpu.ops.median import masked_median
+
+        rng = np.random.default_rng(0)
+        vals = rng.uniform(0.0, 1.0, (64, 441)).astype(np.float32)
+        frac = rng.uniform(0.0, 1.0, (64, 1))
+        valid = rng.random((64, 441)) < frac
+        valid[0] = False  # an all-invalid row
+        valid[1] = False
+        valid[1, 7] = True  # a single-element row
+        got = np.asarray(masked_median(jnp.asarray(vals), jnp.asarray(valid)))
+        for i in range(64):
+            v = np.sort(vals[i][valid[i]])
+            if v.size == 0:
+                want = np.float32(-1.0)
+            else:
+                want = (v[(v.size - 1) // 2] + v[v.size // 2]) * np.float32(0.5)
+            assert got[i] == want, f"row {i}"

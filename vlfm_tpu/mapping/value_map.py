@@ -136,15 +136,13 @@ def update(
 
 
 def _masked_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Median of ``vals`` where ``valid``; -1 if none valid (img_utils.py:254-264)."""
-    vals = vals.reshape(-1)
-    valid = valid.reshape(-1)
-    n = jnp.sum(valid)
-    big = jnp.where(valid, vals, jnp.inf)
-    s = jnp.sort(big)
-    lo = s[jnp.maximum((n - 1) // 2, 0)]
-    hi = s[jnp.maximum(n // 2, 0)]
-    return jnp.where(n > 0, (lo + hi) / 2.0, -1.0)
+    """Median of ``vals`` where ``valid``; -1 if none valid (img_utils.py:254-264).
+
+    Radix-bisection selection (ops/median.py) — exact, and much cheaper on TPU
+    than the bitonic network XLA emits for per-window ``jnp.sort``."""
+    from vlfm_tpu.ops.median import masked_median
+
+    return masked_median(vals.reshape(-1), valid.reshape(-1))
 
 
 @partial(jax.jit, static_argnames=("spec", "radius_px"))
