@@ -5,11 +5,12 @@ robot the gripper camera has RGB only; an all-ones depth image triggers
 ``_infer_depth`` which runs monocular depth estimation and normalizes to the
 [min_depth, max_depth] mapping range (base_objectnav_policy.py:314-318).
 
-This module defines the interface plus a compact convolutional
-encoder-decoder in flax. The architecture is a placeholder for a converted
-production model (ZoeDepth/DepthAnything class); the policy only depends on
-the ``infer_depth`` signature, so swapping weights/architectures is local to
-this file.
+This module defines the ``infer_depth`` interface plus a compact
+convolutional encoder-decoder — a lightweight fallback for weightless runs.
+The PRODUCTION model is ``vlfm_tpu.models.zoedepth.ZoeDepth`` (faithful
+BEiT + DPT + metric-bins ZoeDepth port with an HF checkpoint converter),
+which implements the same ``infer_depth`` contract and drops in anywhere
+this class is accepted.
 """
 
 from __future__ import annotations
