@@ -37,11 +37,28 @@ Baselines
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_STEPS_PER_S = 3.0  # optimistic trace-estimate, see module docstring
+
+
+def _enable_compile_cache() -> None:
+    """Persist XLA compilations to disk so repeated bench runs skip the
+    multi-minute cold compile of the 1.3B-param full-stack step. Safe no-op
+    on backends that don't support the persistent cache."""
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 # --------------------------------------------------------------------------
@@ -366,6 +383,7 @@ def bench_full_stack(batch: int = 32, iters: int = 4):
 
 
 def main() -> None:
+    _enable_compile_cache()
     full, timings = bench_full_stack()
     mapping = bench_mapping_pipeline()
     cpu_baseline = bench_reference_cpu()
