@@ -54,6 +54,8 @@ SLOW_FILES = {
     "test_swin.py",
     "test_t5_vqa.py",
     "test_tinyvit.py",
+    "test_tinyvit_fast.py",
+    "test_conv_fused.py",
     "test_vqa_veto.py",
     "test_reality_policy.py",
     "test_habitat_loop.py",

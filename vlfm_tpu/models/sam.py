@@ -476,19 +476,38 @@ class SAM:
         return cls(cfg, params)
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("module",))
-    def _segment(module, params, images, boxes01):
+    @partial(jax.jit, static_argnames=("module", "fused"))
+    def _segment(module, params, images, boxes01, fused=False):
+        if fused:
+            from vlfm_tpu.models.tinyvit_fast import encode_fused
+
+            mean = jnp.asarray(SAM_MEAN, images.dtype)
+            std = jnp.asarray(SAM_STD, images.dtype)
+            emb = encode_fused(
+                params["vision"], (images - mean) / std, module.cfg.tinyvit
+            )
+            return module.apply(
+                {"params": params}, emb, boxes01, method=SamModule.decode_boxes
+            )
         masks, iou = module.apply({"params": params}, images, boxes01)
         return masks, iou
 
-    def segment_boxes(self, images, boxes01, multimask_output: bool = False):
+    def segment_boxes(self, images, boxes01, multimask_output: bool = False,
+                      fused: bool = None):
         """(B,S,S,3) 0..255 floats + (B,NB,4) boxes in [0,1] -> bool masks
         (B, NB, 4G, 4G) at quarter input resolution, plus iou scores.
 
         multimask_output=False selects mask token 0 like the reference
         (sam.py:55, SamPredictor.predict(multimask_output=False)).
+
+        fused=None auto-selects the pallas/s2d TinyViT serving path
+        (models/tinyvit_fast.py) on TPU; parity is pinned by
+        tests/test_tinyvit_fast.py.
         """
-        masks, iou = self._segment(self.module, self.params, images, boxes01)
+        if fused is None:
+            fused = self.cfg.tinyvit is not None and jax.default_backend() == "tpu"
+        masks, iou = self._segment(self.module, self.params, images, boxes01,
+                                   fused=fused)
         if multimask_output:
             best = jnp.argmax(iou[..., 1:], axis=-1) + 1
             sel = jnp.take_along_axis(masks, best[..., None, None, None], axis=2)[:, :, 0]
