@@ -313,7 +313,10 @@ def bench_full_stack(batch: int = 32, iters: int = 4):
         sam_imgs = jax.image.resize(
             rgb.astype(jnp.float32), (rgb.shape[0], sam_size, sam_size, 3), "linear"
         )
-        masks_all, _ = sam.module.apply({"params": sam_p}, sam_imgs, xyxy)
+        masks_all, _ = SAM._segment(
+            sam.module, sam_p, sam_imgs, xyxy,
+            fused=jax.default_backend() == "tpu",
+        )
         masks_lr = masks_all[:, :, 0] > 0.0  # multimask_output=False
         masks = jax.image.resize(
             masks_lr.astype(jnp.float32),

@@ -78,7 +78,7 @@ def main() -> None:
     # build the target callable (compiled + warmed) without timing prints
     import jax.numpy as jnp
 
-    if which == "tinyvit":
+    if which in ("tinyvit", "tinyvit_fast"):
         from vlfm_tpu.models.tinyvit import TinyViT, TinyViTConfig
 
         tv = TinyViTConfig(compute_dtype=jnp.bfloat16)
@@ -86,7 +86,12 @@ def main() -> None:
         ep = PM.fast_params(enc.init, jnp.zeros((1, tv.img_size, tv.img_size, 3)))
         imgs = jax.random.uniform(
             jax.random.PRNGKey(0), (batch, tv.img_size, tv.img_size, 3))
-        g = jax.jit(lambda p, i: enc.apply({"params": p}, i))
+        if which == "tinyvit_fast":
+            from vlfm_tpu.models.tinyvit_fast import encode_fused
+
+            g = jax.jit(lambda p, i: encode_fused(p, i, tv, interpret=False))
+        else:
+            g = jax.jit(lambda p, i: enc.apply({"params": p}, i))
         fn = lambda: g(ep, imgs)
     elif which == "sam":
         from vlfm_tpu.models.sam import SAM, SamConfig

@@ -8,7 +8,18 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vlfm_tpu.ops.conv_fused import mbconv_chain, merge_chain_s2, patch_embed_s2d
+from vlfm_tpu.ops.conv_fused import (
+    gelu_poly,
+    mbconv_chain,
+    merge_chain_s2,
+    patch_embed_s2d,
+)
+
+
+def test_gelu_poly_accuracy():
+    x = jnp.linspace(-12.0, 12.0, 200001)
+    err = jnp.max(jnp.abs(gelu_poly(x) - jax.nn.gelu(x, approximate=False)))
+    assert float(err) < 1.5e-4
 
 
 def _gelu(x):
@@ -55,7 +66,7 @@ def test_mbconv_chain_residual(h, w, row_tile):
     got = mbconv_chain(x, *ws, residual=True, final_gelu=True,
                        row_tile=row_tile, interpret=True)
     want = ref_chain(x, *ws, stride=1, residual=True, final_gelu=True)
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
 def test_mbconv_chain_merge_form():
@@ -67,7 +78,7 @@ def test_mbconv_chain_merge_form():
     got = mbconv_chain(x, *ws, residual=False, final_gelu=False,
                        row_tile=4, interpret=True)
     want = ref_chain(x, *ws, stride=1, residual=False, final_gelu=False)
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
 @pytest.mark.parametrize("h,w", [(16, 16), (8, 8), (24, 8)])
@@ -78,7 +89,7 @@ def test_merge_chain_s2(h, w):
     got = merge_chain_s2(x, *ws)
     want = ref_chain(x, *ws, stride=2, residual=False, final_gelu=False)
     assert got.shape == (2, h // 2, w // 2, 12)
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
 def ref_patch_embed(x, w1, b1, w2, b2):
@@ -105,4 +116,4 @@ def test_patch_embed_s2d(h, w):
     got = patch_embed_s2d(x, w1, b1, w2, b2)
     want = ref_patch_embed(x, w1, b1, w2, b2)
     assert got.shape == (2, h // 4, w // 4, c2)
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)

@@ -170,6 +170,9 @@ class TinyViTBlock(nn.Module):
     heads: int
     window: int
     mlp_ratio: float
+    # optional MLP activation override (e.g. ops.conv_fused.gelu_poly on the
+    # serving path); None = exact erf gelu, the torch default
+    act: Any = None
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
@@ -191,7 +194,7 @@ class TinyViTBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-5, name="mlp_norm")(x)
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = self.act(y) if self.act is not None else nn.gelu(y, approximate=False)
         y = nn.Dense(c, name="mlp_fc2")(y)
         return x + y
 

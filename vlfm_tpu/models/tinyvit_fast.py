@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from vlfm_tpu.models.tinyvit import TinyViTBlock, TinyViTConfig
-from vlfm_tpu.ops.conv_fused import mbconv_chain, merge_chain_s2, patch_embed_s2d
+from vlfm_tpu.ops.conv_fused import (
+    gelu_poly,
+    mbconv_chain,
+    merge_chain_s2,
+    patch_embed_s2d,
+)
 
 
 def _chain_weights(p: Dict[str, Any], dt):
@@ -73,7 +78,8 @@ def encode_fused(
                 residual=False, final_gelu=False, interpret=interpret,
             )
         block = TinyViTBlock(
-            cfg.embed_dims[s], cfg.num_heads[s], cfg.window_sizes[s], cfg.mlp_ratio
+            cfg.embed_dims[s], cfg.num_heads[s], cfg.window_sizes[s],
+            cfg.mlp_ratio, act=gelu_poly,
         )
         for i in range(cfg.depths[s]):
             bp = jax.tree_util.tree_map(

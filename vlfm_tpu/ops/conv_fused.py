@@ -55,21 +55,34 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _erf(x):
-    """Abramowitz–Stegun 7.1.26 rational erf (max abs err 1.5e-7): Mosaic has
-    no erf/erfc lowering, and 1.5e-7 is far below the bf16 noise floor."""
-    p = 0.3275911
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+# Chebyshev LSQ fit of q(u) = (Phi(x) - 0.5)/x in u = x^2 on [0, 16];
+# gelu_poly(x) = x * (0.5 + clamp(x)*q(clamp(x)^2)) matches exact (erf) gelu
+# to |err| <= 1.3e-4 everywhere — far below bf16 resolution — using only
+# FMAs (no exp/erf/divide, which are the VPU cost of exact gelu and which
+# Mosaic partly cannot lower at all).
+_GELU_Q = (
+    0.39894017029044904, -0.066466794897970471, 0.0099298524285301726,
+    -0.0011557072765977785, 0.00010368957773723845, -6.8878449204152679e-06,
+    3.1332930776300218e-07, -8.5560302003169164e-09, 1.0436412873058145e-10,
+)
 
 
-def _gelu(x):
-    """Exact (erf) gelu — TinyViT uses torch's default non-approximate GELU."""
-    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+def gelu_poly(x):
+    """Polynomial exact-gelu approximation (|err| <= 1.3e-4, FMA-only).
+
+    TinyViT uses torch's default non-approximate GELU; this stands in for it
+    on serving paths where the erf's exp/divide dominates VPU time (and
+    inside pallas kernels, where Mosaic has no erf lowering at all).
+    """
+    y = jnp.clip(x, -4.0, 4.0)
+    u = y * y
+    q = jnp.full_like(u, _GELU_Q[-1])
+    for c in _GELU_Q[-2::-1]:
+        q = q * u + c
+    return x * (0.5 + y * q)
+
+
+_gelu = gelu_poly
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +255,7 @@ def patch_embed_s2d(
     """
     y = space_to_depth(x, 4)  # (B, H/4, W/4, 48)
     mid = _conv_unit(y, _assemble_pe1(w1.astype(x.dtype)), [(1, 0), (1, 0)])
-    mid = jax.nn.gelu(mid + jnp.tile(b1, 4).astype(mid.dtype), approximate=False)
+    mid = _gelu(mid + jnp.tile(b1, 4).astype(mid.dtype))
     out = _conv_unit(
         mid.astype(x.dtype), _assemble_s2_taps(w2.astype(x.dtype)), [(1, 0), (1, 0)]
     )
@@ -268,10 +281,9 @@ def merge_chain_s2(
     hpl = {}
     for p in range(2):
         for q in range(2):
-            hpl[(p, q)] = jax.nn.gelu(
+            hpl[(p, q)] = _gelu(
                 jnp.einsum("bhwc,cd->bhwd", x[:, p::2, q::2], w1)
-                + b1.astype(x.dtype),
-                approximate=False,
+                + b1.astype(x.dtype)
             )
     acc = jnp.zeros((b_, h // 2, w // 2, ch), jnp.float32)
     for di in range(3):
@@ -284,5 +296,5 @@ def merge_chain_s2(
                 hpl[(p, q)], ((0, 0), (da, 0), (db, 0), (0, 0))
             )[:, : h // 2, : w // 2]
             acc = acc + shifted.astype(jnp.float32) * w2[di, dj].astype(jnp.float32)
-    y = jax.nn.gelu(acc + b2.astype(jnp.float32), approximate=False).astype(x.dtype)
+    y = _gelu(acc + b2.astype(jnp.float32)).astype(x.dtype)
     return jnp.einsum("bhwc,cd->bhwd", y, w3) + b3.astype(x.dtype)
