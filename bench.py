@@ -228,7 +228,10 @@ def bench_mapping_pipeline(batch: int = 16, horizon: int = 12) -> float:
 # --------------------------------------------------------------------------
 # FULL STACK: production-size perception in the step cadence
 # --------------------------------------------------------------------------
-def bench_full_stack(batch: int = 32, iters: int = 4):
+def make_system(batch: int = 32):
+    """Build the full-stack system step (models + policy + jitted step fn)
+    without running it. Shared by bench_full_stack and scripts/op_profile.py's
+    'system' target."""
     import jax
     import jax.numpy as jnp
 
@@ -255,8 +258,6 @@ def bench_full_stack(batch: int = 32, iters: int = 4):
             lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes
         )
 
-    timings = {}
-
     t0 = time.time()
     icfg = BLIP2ITMConfig()  # EVA ViT-g, 1.17B
     itm_model = BLIP2ITM(icfg, None)
@@ -278,7 +279,7 @@ def bench_full_stack(batch: int = 32, iters: int = 4):
     sam.params = fast_params(
         sam.module.init, jnp.zeros((1, s, s, 3)), jnp.zeros((1, 1, 4))
     )
-    timings["model_init_s"] = round(time.time() - t0, 1)
+    model_init_s = round(time.time() - t0, 1)
 
     pointnav, bstate = _policy_setup(cfg, spec, batch)
 
@@ -310,17 +311,18 @@ def bench_full_stack(batch: int = 32, iters: int = 4):
         xyxy, scores, cls, valid = top_detections(
             boxes, logits, capacity=k, threshold=cfg.non_coco_threshold
         )
-        sam_imgs = jax.image.resize(
-            rgb.astype(jnp.float32), (rgb.shape[0], sam_size, sam_size, 3), "linear"
-        )
+        from vlfm_tpu.ops.resize import resize_bilinear
+
+        sam_imgs = resize_bilinear(rgb.astype(jnp.float32), sam_size, sam_size)
         masks_all, _ = SAM._segment(
             sam.module, sam_p, sam_imgs, xyxy,
             fused=jax.default_backend() == "tpu",
         )
         masks_lr = masks_all[:, :, 0] > 0.0  # multimask_output=False
-        masks = jax.image.resize(
-            masks_lr.astype(jnp.float32),
-            (rgb.shape[0], k, cam.height, cam.width), "linear",
+        from vlfm_tpu.ops.resize import resize_bilinear_hw
+
+        masks = resize_bilinear_hw(
+            masks_lr.astype(jnp.float32), cam.height, cam.width
         ) > 0.5
         return cos, masks & valid[:, :, None, None], valid
 
@@ -354,6 +356,28 @@ def bench_full_stack(batch: int = 32, iters: int = 4):
         jax.random.PRNGKey(2), (batch, cam.height, cam.width, 3), 0, 255, jnp.uint8
     )
 
+    return dict(
+        system_step=system_step, params3=params3, bstate=bstate, rgb=rgb,
+        batch=batch, itm_model=itm_model, detector=detector, sam=sam,
+        text_feats=text_feats, qids=qids, qmask=qmask, sam_size=sam_size,
+        k=k, cam=cam, model_init_s=model_init_s,
+    )
+
+
+def bench_full_stack(batch: int = 32, iters: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    sysd = make_system(batch)
+    system_step = sysd["system_step"]
+    params3 = sysd["params3"]
+    bstate = sysd["bstate"]
+    rgb = sysd["rgb"]
+    itm_model, detector, sam = sysd["itm_model"], sysd["detector"], sysd["sam"]
+    text_feats, qids, qmask = sysd["text_feats"], sysd["qids"], sysd["qmask"]
+    sam_size, k = sysd["sam_size"], sysd["k"]
+    timings = {"model_init_s": sysd["model_init_s"]}
+
     # compile
     t0 = time.time()
     bs2, acts = system_step(*params3, bstate, rgb, jnp.int32(0), jax.random.PRNGKey(3))
@@ -369,8 +393,10 @@ def bench_full_stack(batch: int = 32, iters: int = 4):
     det = lambda r: detector.detect(detector.preprocess(r), qids, qmask)[1]
     _sync(det(rgb))
     t0 = time.time(); _sync(det(rgb)); timings["detector_ms_per_batch"] = round(1e3 * (time.time() - t0), 1)
+    from vlfm_tpu.ops.resize import resize_bilinear as _rb
+
     seg = lambda r: sam.segment_boxes(
-        jax.image.resize(r.astype(jnp.float32), (batch, sam_size, sam_size, 3), "linear"),
+        _rb(r.astype(jnp.float32), sam_size, sam_size),
         jnp.tile(jnp.asarray([[[0.2, 0.2, 0.8, 0.8]]]), (batch, k, 1)))[0]
     _sync(seg(rgb))
     t0 = time.time(); _sync(seg(rgb)); timings["sam_ms_per_batch"] = round(1e3 * (time.time() - t0), 1)

@@ -78,7 +78,16 @@ def main() -> None:
     # build the target callable (compiled + warmed) without timing prints
     import jax.numpy as jnp
 
-    if which in ("tinyvit", "tinyvit_fast"):
+    if which == "system":
+        sysd = bench.make_system(batch)
+        step = sysd["system_step"]
+        params3, bstate, rgb = sysd["params3"], sysd["bstate"], sysd["rgb"]
+
+        def fn():
+            bs2, acts = step(*params3, bstate, rgb, jnp.int32(1),
+                             jax.random.PRNGKey(7))
+            return acts
+    elif which in ("tinyvit", "tinyvit_fast"):
         from vlfm_tpu.models.tinyvit import TinyViT, TinyViTConfig
 
         tv = TinyViTConfig(compute_dtype=jnp.bfloat16)

@@ -33,13 +33,15 @@ def fast_params(init_fn, *args):
     )
 
 
-def _measure(name: str, batch: int, fn, *args) -> None:
+def _measure(name: str, batch: int, fn, *args, iters: int = 10) -> None:
     t0 = time.time()
     _sync(fn(*args))
     compile_s = time.time() - t0
     t0 = time.time()
-    _sync(fn(*args))
-    dt = time.time() - t0
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    dt = (time.time() - t0) / iters
     print(json.dumps({
         "model": name, "batch": batch, "compile_s": round(compile_s, 1),
         "ms_per_batch": round(1e3 * dt, 1),
@@ -132,11 +134,14 @@ def profile_gdino(batch: int, image_size: int = 800) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = 8
+    skip = set()
     for i, a in enumerate(sys.argv):
         if a == "--batch":
             batch = int(sys.argv[i + 1])
+            skip.add(i + 1)
+    args = [a for i, a in enumerate(sys.argv[1:], 1)
+            if not a.startswith("--") and i not in skip]
     which = args or ["blip2", "owl", "sam", "gdino"]
     try:
         import bench

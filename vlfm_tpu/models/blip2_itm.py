@@ -153,7 +153,9 @@ class BLIP2ITM:
         """(B, H, W, 3) uint8 -> resized float [0, 1] at model resolution."""
         s = self.cfg.vit.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
-        return jax.image.resize(x, (x.shape[0], s, s, 3), method="cubic")
+        from vlfm_tpu.ops.resize import resize_matmul
+
+        return resize_matmul(x, s, s, "cubic")
 
 
 # ---------------------------------------------------------------------------

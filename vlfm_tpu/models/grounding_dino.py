@@ -836,7 +836,9 @@ class GroundingDinoQueryAdapter:
     def preprocess(self, rgb_uint8):
         s = self.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
-        x = jax.image.resize(x, (x.shape[0], s, s, 3), method="linear")
+        from vlfm_tpu.ops.resize import resize_bilinear
+
+        x = resize_bilinear(x, s, s)
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
         return (x - mean) / std

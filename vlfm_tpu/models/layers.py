@@ -15,6 +15,32 @@ import jax
 import jax.numpy as jnp
 
 
+class FastLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm (same param tree: scale/bias at this scope) with
+    f32 statistics; on TPU it routes through the single-pass pallas kernel
+    (ops/norms.py) — XLA's contextual norm fusions re-read the residual
+    stream and dominate non-matmul time in the ViT stacks."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        from vlfm_tpu.ops.conv_fused import _default_interpret
+
+        if not _default_interpret():
+            from vlfm_tpu.ops.norms import layer_norm
+
+            return layer_norm(x, scale, bias, eps=self.epsilon)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
 class LayerNormF32(nn.Module):
     """LayerNorm computed in f32, cast back to the input dtype."""
 
@@ -22,11 +48,7 @@ class LayerNormF32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dtype = x.dtype
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32)
-        )
-        return y.astype(dtype)
+        return FastLayerNorm(self.epsilon, name="ln")(x)
 
 
 def attention(q, k, v, mask: Optional[jnp.ndarray] = None):

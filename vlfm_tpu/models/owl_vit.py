@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vlfm_tpu.models.layers import FastLayerNorm
+
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
@@ -109,9 +111,9 @@ class ClipLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
+        y = FastLayerNorm(1e-5, name="ln1")(x)
         x = x + ClipAttention(self.heads, self.causal, name="attn")(y, mask)
-        y = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
+        y = FastLayerNorm(1e-5, name="ln2")(x)
         y = nn.Dense(self.mlp_dim, name="fc1")(y)
         y = quick_gelu(y)
         return x + nn.Dense(x.shape[-1], name="fc2")(y)
@@ -128,7 +130,7 @@ class OwlTextEncoder(nn.Module):
         x = x + pos[None, : input_ids.shape[1]]
         for i in range(c.layers):
             x = ClipLayer(c.heads, c.mlp_dim, causal=True, name=f"layer{i}")(x, attention_mask)
-        x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)
+        x = FastLayerNorm(1e-5, name="final_ln")(x)
         # CLIP pooling: feature at the EOT token (highest token id position)
         eot = jnp.argmax(input_ids, axis=-1)
         return x[jnp.arange(x.shape[0]), eot]
@@ -152,7 +154,7 @@ class OwlVisionEncoder(nn.Module):
             "position_embed", nn.initializers.normal(0.02), (c.grid**2 + 1, c.hidden)
         )
         x = x + pos[None]
-        x = nn.LayerNorm(epsilon=1e-5, name="pre_ln")(x)
+        x = FastLayerNorm(1e-5, name="pre_ln")(x)
         for i in range(c.layers):
             x = ClipLayer(c.heads, c.mlp_dim, name=f"layer{i}")(x)
         return x  # post_ln applied by the detection head over all tokens
@@ -190,8 +192,8 @@ class OwlViTDetectionModule(nn.Module):
     def setup(self):
         self.vision = OwlVisionEncoder(self.cfg.vision, name="vision")
         self.text = OwlTextEncoder(self.cfg.text, name="text")
-        self.post_ln = nn.LayerNorm(epsilon=1e-5, name="post_ln")
-        self.merge_ln = nn.LayerNorm(epsilon=1e-5, name="merge_ln")
+        self.post_ln = FastLayerNorm(1e-5, name="post_ln")
+        self.merge_ln = FastLayerNorm(1e-5, name="merge_ln")
         self.text_projection = nn.Dense(self.cfg.projection_dim, use_bias=False, name="text_projection")
         self.box_head = OwlMLPHead(4, name="box_head")
         self.class_dense = nn.Dense(self.cfg.projection_dim, name="class_dense")
@@ -260,7 +262,9 @@ class OwlViTDetector:
     def preprocess(self, rgb_uint8: jnp.ndarray) -> jnp.ndarray:
         s = self.cfg.vision.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
-        return jax.image.resize(x, (x.shape[0], s, s, 3), method="linear")
+        from vlfm_tpu.ops.resize import resize_bilinear
+
+        return resize_bilinear(x, s, s)
 
 
 def top_detections(boxes, logits, capacity: int, threshold: float = 0.0):

@@ -296,7 +296,11 @@ class DecoderAttention(nn.Module):
         def split(t):
             return t.reshape(*t.shape[:-1], self.heads, d // self.heads).swapaxes(-3, -2)
 
-        a = jnp.einsum("...hqd,...hkd->...hqk", split(hq), split(hk)) / jnp.sqrt(d // self.heads)
+        # python-float scale keeps the einsum in the input dtype (jnp.sqrt of
+        # an int is a strong f32 scalar and would promote the whole decoder)
+        a = jnp.einsum("...hqd,...hkd->...hqk", split(hq), split(hk)) * (
+            (d // self.heads) ** -0.5
+        )
         p = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(q.dtype)
         o = jnp.einsum("...hqk,...hkd->...hqd", p, split(hv))
         o = o.swapaxes(-3, -2).reshape(*q.shape[:-1], d)
@@ -334,6 +338,28 @@ class TwoWayBlock(nn.Module):
         keys = keys + DecoderAttention(c.heads, dd, name="cross_i2t")(k, q, queries)
         keys = nn.LayerNorm(epsilon=1e-6, name="ln4")(keys)
         return queries, keys
+
+
+class Upscale2x(nn.Module):
+    """Drop-in nn.ConvTranspose(out, (2, 2), strides=(2, 2)) — same param
+    tree (kernel (2, 2, cin, out), bias) — computed as one matmul plus a
+    depth-to-space reshuffle. XLA's conv_transpose lowering costs ~6 ms at
+    the decoder's per-box shapes; the einsum form is a plain MXU matmul."""
+
+    out: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, Cin) -> (B, 2H, 2W, out)
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, cin, self.out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out,))
+        y = jnp.einsum(
+            "bhwc,pqcd->bhwpqd", x, kernel.astype(x.dtype)
+        )  # out[2i+p, 2j+q] = sum_c x[i, j, c] * kernel[p, q, c]
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.out)
+        return y + bias.astype(y.dtype)
 
 
 class SamFeedForward(nn.Module):
@@ -389,10 +415,10 @@ class SamMaskDecoder(nn.Module):
         mask_out = q[:, :, 1 : m + 1]  # (B, NB, M, d)
 
         img = k.reshape(b * nb, g1, g2, d)
-        up = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), name="upscale_conv1")(img)
+        up = Upscale2x(d // 4, name="upscale_conv1")(img)
         up = LayerNorm2d(name="upscale_ln")(up)
         up = nn.gelu(up, approximate=False)
-        up = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), name="upscale_conv2")(up)
+        up = Upscale2x(d // 8, name="upscale_conv2")(up)
         up = nn.gelu(up, approximate=False)  # (B*NB, 4G, 4G, d/8)
 
         hyper = jnp.stack(
@@ -447,9 +473,13 @@ class SamModule(nn.Module):
         return self.pe(coords[..., ::-1])
 
     def decode_boxes(self, image_embed, boxes01):
-        sparse = self.prompt(self.pe, boxes01)
-        src = image_embed + self.no_mask_embed
-        return self.decoder(src, self.image_pe(), sparse)
+        # pin the decoder to the encoder's dtype: box coords and the f32
+        # positional embedding would otherwise promote every decoder tensor
+        # (incl. the per-box upscale path) to f32
+        dt = image_embed.dtype
+        sparse = self.prompt(self.pe, boxes01).astype(dt)
+        src = image_embed + self.no_mask_embed.astype(dt)
+        return self.decoder(src, self.image_pe().astype(dt), sparse)
 
     def __call__(self, images, boxes01):
         emb = self.encode_image(images)

@@ -684,9 +684,15 @@ class ZoeDepth:
         s = self.cfg.beit.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
         x = (x - self.MEAN) / self.STD
-        x = jax.image.resize(x, (x.shape[0], s, s, 3), "linear")
+        from vlfm_tpu.ops.resize import resize_bilinear
+
+        x = resize_bilinear(x, s, s)
         metric = self.predict(x)
-        metric = jax.image.resize(metric, rgb_uint8.shape[:3], "linear")
+        from vlfm_tpu.ops.resize import resize_bilinear_hw
+
+        metric = resize_bilinear_hw(
+            metric, rgb_uint8.shape[1], rgb_uint8.shape[2]
+        )
         return jnp.clip((metric - min_depth) / (max_depth - min_depth), 0.0, 1.0)
 
 

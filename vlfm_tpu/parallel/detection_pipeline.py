@@ -156,17 +156,14 @@ class DetectionPipeline:
                 rgb, target, self.non_coco_threshold
             )
 
-        sam_imgs = jax.image.resize(
+        from vlfm_tpu.ops.resize import resize_bilinear, resize_bilinear_hw
+
+        sam_imgs = resize_bilinear(
             rgb.astype(jnp.float32),
-            (b, self.sam.cfg.vision.image_size, self.sam.cfg.vision.image_size, 3),
-            method="linear",
+            self.sam.cfg.vision.image_size, self.sam.cfg.vision.image_size,
         )
         masks_lr, _ = self.sam.segment_boxes(sam_imgs, xyxy)  # (B, K, 4G, 4G)
-        masks = jax.image.resize(
-            masks_lr.astype(jnp.float32),
-            (b, self.max_detections, h, w),
-            method="linear",
-        ) > 0.5
+        masks = resize_bilinear_hw(masks_lr.astype(jnp.float32), h, w) > 0.5
         masks = masks & valid[:, :, None, None]
 
         if self.use_vqa and self.vqa_veto is not None:

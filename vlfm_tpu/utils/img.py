@@ -1,8 +1,9 @@
 """Image utilities on device.
 
 The reference's torch ``image_resize`` (obs_transformers/utils.py:9-48, mode
-'area') becomes jax.image.resize with antialiased linear filtering — for
-downscales this is the same box-filter family XLA fuses well.
+'area') becomes an antialiased linear resample — implemented as two dense
+interpolation matmuls (ops/resize.py) so the per-step depth downscale rides
+the MXU instead of XLA's gather lowering.
 """
 
 from __future__ import annotations
@@ -12,14 +13,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from vlfm_tpu.ops.resize import resize_bilinear, resize_bilinear_hw
+
 
 @partial(jax.jit, static_argnames=("shape",))
 def resize_area(img: jnp.ndarray, shape: tuple) -> jnp.ndarray:
     """Resize (H, W[, C]) or (B, H, W, C) to the given spatial shape."""
     if img.ndim == 2:
-        return jax.image.resize(img, shape, method="linear", antialias=True)
-    if img.ndim == 3:
-        return jax.image.resize(img, (*shape, img.shape[-1]), method="linear", antialias=True)
-    return jax.image.resize(
-        img, (img.shape[0], *shape, img.shape[-1]), method="linear", antialias=True
-    )
+        return resize_bilinear_hw(img, shape[0], shape[1])
+    return resize_bilinear(img, shape[0], shape[1])
