@@ -106,3 +106,42 @@ class TestObjectMap:
         state = self._update(state, depth, mask)
         state = OBJ.reset(state)
         assert not bool(OBJ.has_object(state))
+
+
+def test_update_batch_equals_sequential():
+    """update_batch must fill the same slots with the same points as K
+    sequential update() calls using the same per-detection keys."""
+    import jax
+
+    state = OBJ.create(slots=8, points_per_slot=64)
+    h, w = 32, 40
+    rng = jax.random.PRNGKey(5)
+    depth = jax.random.uniform(jax.random.PRNGKey(6), (h, w), minval=0.3, maxval=0.9)
+    masks = np.zeros((3, h, w), bool)
+    masks[0, 8:20, 8:20] = True     # valid detection
+    masks[1] = False                # empty -> no-op
+    masks[2, 10:26, 18:34] = True   # valid detection
+    masks = jnp.asarray(masks)
+    valid = jnp.asarray([True, True, True])
+    tf = jnp.eye(4)
+
+    batched = OBJ.update_batch(
+        state, rng, depth, masks, valid, tf, 0.0, 5.0, 20.0, 20.0,
+        erosion_size=1,
+    )
+
+    seq = state
+    for i, key in enumerate(jax.random.split(rng, 3)):
+        seq = OBJ.update(
+            seq, key, depth, masks[i], tf, 0.0, 5.0, 20.0, 20.0,
+            erosion_size=1,
+        )
+
+    assert int(batched.cursor) == int(seq.cursor)
+    np.testing.assert_array_equal(np.asarray(batched.slot_used), np.asarray(seq.slot_used))
+    np.testing.assert_array_equal(
+        np.asarray(batched.point_valid), np.asarray(seq.point_valid))
+    np.testing.assert_allclose(
+        np.asarray(batched.points), np.asarray(seq.points), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(batched.slot_in_range), np.asarray(seq.slot_in_range))

@@ -171,6 +171,80 @@ def update(
     )
 
 
+@partial(jax.jit, static_argnames=("erosion_size", "use_dbscan"))
+def update_batch(
+    state: ObjectMapState,
+    rng: jnp.ndarray,
+    depth: jnp.ndarray,  # (H, W) normalized
+    object_masks: jnp.ndarray,  # (K, H, W) bool from the segmenter
+    masks_valid: jnp.ndarray,  # (K,) bool
+    tf_camera_to_episodic: jnp.ndarray,
+    min_depth: float,
+    max_depth: float,
+    fx: float,
+    fy: float,
+    *,
+    erosion_size: int = 5,
+    use_dbscan: bool = True,
+    dbscan_eps: float = 0.2,
+    dbscan_min_points_per_5000: float = 100.0,
+) -> ObjectMapState:
+    """Insert a frame's K detections at once (same per-detection semantics
+    and slot order as K sequential ``update`` calls).
+
+    A sequential lax.scan over detections serializes K erosion + subsample +
+    DBSCAN pipelines (and under vmap the scan's cond computes both branches
+    anyway); batching them turns the K 512x512 cluster matmuls into one
+    (K, 512, 512) MXU call. Writes go to consecutive ring slots via one
+    mode="drop" scatter — invalid detections target slot index D (dropped).
+    """
+    d_slots, m = state.points.shape[:2]
+    h, w = depth.shape
+    depth_far = jnp.where(depth == 0, 1.0, depth)
+    scaled = depth_far * (max_depth - min_depth) + min_depth
+    scaled_flat = scaled.reshape(-1)
+    min_pts = jnp.maximum(
+        jnp.round(dbscan_min_points_per_5000 * m / 5000.0), 2.0
+    ).astype(jnp.int32)
+
+    def one(key, object_mask):
+        eroded = erode_repeated_3x3(object_mask, erosion_size)
+        idx, keep = _subsample(key, eroded.reshape(-1), m)
+        v = (idx // w).astype(scaled.dtype)
+        u = (idx % w).astype(scaled.dtype)
+        z = scaled_flat[idx]
+        x = (u - w // 2) * z / fx
+        y = (v - h // 2) * z / fy
+        cloud_cam = jnp.stack([z, -x, -y], axis=-1)
+        if use_dbscan:
+            keep = largest_cluster_mask(
+                cloud_cam, keep, jnp.float32(dbscan_eps), min_pts
+            )
+        offset = _too_offset(object_mask)
+        out_of_range = (keep & (cloud_cam[:, 0] > max_depth * 0.95)).any()
+        in_range = ~(offset | out_of_range)
+        cloud_epi = transform_points(tf_camera_to_episodic, cloud_cam)
+        cam_pos = tf_camera_to_episodic[:3, 3]
+        dists = jnp.linalg.norm(cloud_epi - cam_pos, axis=1)
+        closest = jnp.min(jnp.where(keep, dists, jnp.inf))
+        ok = keep.any() & (closest >= 1.0)
+        return cloud_epi, keep, in_range, ok
+
+    k = object_masks.shape[0]
+    keys = jax.random.split(rng, k)
+    clouds, keeps, in_ranges, oks = jax.vmap(one)(keys, object_masks)
+    oks = oks & masks_valid
+    ranks = jnp.cumsum(oks) - oks.astype(jnp.int32)  # exclusive prefix count
+    slots = jnp.where(oks, (state.cursor + ranks) % d_slots, d_slots)
+    return state._replace(
+        points=state.points.at[slots].set(clouds, mode="drop"),
+        point_valid=state.point_valid.at[slots].set(keeps, mode="drop"),
+        slot_used=state.slot_used.at[slots].set(True, mode="drop"),
+        slot_in_range=state.slot_in_range.at[slots].set(in_ranges, mode="drop"),
+        cursor=state.cursor + oks.sum(dtype=jnp.int32),
+    )
+
+
 @jax.jit
 def update_explored(
     state: ObjectMapState,

@@ -344,22 +344,32 @@ class Upscale2x(nn.Module):
     """Drop-in nn.ConvTranspose(out, (2, 2), strides=(2, 2)) — same param
     tree (kernel (2, 2, cin, out), bias) — computed as one matmul plus a
     depth-to-space reshuffle. XLA's conv_transpose lowering costs ~6 ms at
-    the decoder's per-box shapes; the einsum form is a plain MXU matmul."""
+    the decoder's per-box shapes; the einsum form is a plain MXU matmul.
+
+    With ``packed=True`` the 2x2 spatial slots stay as channel dims
+    ((..., 2, 2, out), no reshuffle): because stride == kernel size the
+    upscale has no spatial overlap, so a whole convT -> norm -> gelu ->
+    convT chain is pointwise in packed layout and the (expensive, per-box)
+    depth-to-space copy can be deferred until after channel reduction."""
 
     out: int
+    packed: bool = False
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, Cin) -> (B, 2H, 2W, out)
-        b, h, w, cin = x.shape
+    def __call__(self, x):  # (..., H, W, Cin)
+        cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (2, 2, cin, self.out)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out,))
         y = jnp.einsum(
-            "bhwc,pqcd->bhwpqd", x, kernel.astype(x.dtype)
-        )  # out[2i+p, 2j+q] = sum_c x[i, j, c] * kernel[p, q, c]
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.out)
-        return y + bias.astype(y.dtype)
+            "...c,pqcd->...pqd", x, kernel.astype(x.dtype)
+        ) + bias.astype(x.dtype)
+        # out[2i+p, 2j+q] = sum_c x[i, j, c] * kernel[p, q, c] + bias
+        if self.packed:
+            return y  # (..., 2, 2, out)
+        b, h, w, _, _, o = y.shape
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, o)
 
 
 class SamFeedForward(nn.Module):
@@ -415,11 +425,13 @@ class SamMaskDecoder(nn.Module):
         mask_out = q[:, :, 1 : m + 1]  # (B, NB, M, d)
 
         img = k.reshape(b * nb, g1, g2, d)
-        up = Upscale2x(d // 4, name="upscale_conv1")(img)
+        # packed upscale chain: the 2x2 slots ride as channels so the big
+        # per-box tensors never get spatially reshuffled (see Upscale2x)
+        up = Upscale2x(d // 4, packed=True, name="upscale_conv1")(img)
         up = LayerNorm2d(name="upscale_ln")(up)
-        up = nn.gelu(up, approximate=False)
-        up = Upscale2x(d // 8, name="upscale_conv2")(up)
-        up = nn.gelu(up, approximate=False)  # (B*NB, 4G, 4G, d/8)
+        up = nn.gelu(up, approximate=False)  # (B*NB, G, G, 2, 2, d/4)
+        up = Upscale2x(d // 8, packed=True, name="upscale_conv2")(up)
+        up = nn.gelu(up, approximate=False)  # (B*NB, G, G, 2, 2, 2, 2, d/8)
 
         hyper = jnp.stack(
             [
@@ -428,8 +440,11 @@ class SamMaskDecoder(nn.Module):
             ],
             axis=2,
         )  # (B, NB, M, d/8)
-        up = up.reshape(b, nb, 4 * g1, 4 * g2, d // 8)
-        masks = jnp.einsum("bnmc,bnhwc->bnmhw", hyper, up)
+        # reduce channels first, THEN depth-to-space the (now thin) masks:
+        # out[4x+2p+r, 4y+2q+s] = packed[x, y, p, q, r, s]
+        up = up.reshape(b, nb, g1, g2, 2, 2, 2, 2, d // 8)
+        masks = jnp.einsum("bnmc,bnxypqrsc->bnmxpryqs", hyper, up)
+        masks = masks.reshape(b, nb, m, 4 * g1, 4 * g2)
         iou = SamFeedForward(c.iou_head_hidden, m, c.iou_head_depth, name="iou_head")(iou_out)
         return masks, iou
 

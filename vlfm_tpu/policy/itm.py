@@ -157,31 +157,19 @@ def step(
         explored=obstacle.explored if cfg.sync_explored_areas else None,
     )
 
-    # --- object map: one slot per detection mask ---------------------------
-    def obj_body(carry, mk):
-        objmap, key = carry
-        key, sub = jax.random.split(key)
-        mask, ok = mk
-
-        def do(o):
-            return OBJ.update(
-                o,
-                sub,
-                object_depth,
-                mask,
-                obs.tf_camera_to_episodic,
-                cam.min_depth,
-                cam.max_depth,
-                cam.fx,
-                cam.fy,
-                erosion_size=cfg.object_map_erosion_size,
-            )
-
-        objmap = jax.lax.cond(ok, do, lambda o: o, objmap)
-        return (objmap, key), None
-
-    (objmap, _), _ = jax.lax.scan(
-        obj_body, (state.objmap, rng), (det_masks, det_valid)
+    # --- object map: one slot per detection mask, all K at once ------------
+    objmap = OBJ.update_batch(
+        state.objmap,
+        rng,
+        object_depth,
+        det_masks,
+        det_valid,
+        obs.tf_camera_to_episodic,
+        cam.min_depth,
+        cam.max_depth,
+        cam.fx,
+        cam.fy,
+        erosion_size=cfg.object_map_erosion_size,
     )
     objmap = OBJ.update_explored(
         objmap,

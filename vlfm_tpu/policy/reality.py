@@ -152,22 +152,12 @@ def reality_step(
     )
 
     # --- object map from the hand camera (DBSCAN off on the robot)
-    def obj_body(carry, mk):
-        objmap, key = carry
-        key, sub = jax.random.split(key)
-        mask, ok = mk
-
-        def do(o):
-            return OBJ.update(
-                o, sub, object_depth, mask, hand.tf,
-                0.0, hand.max_depth, hand.fx, hand.fy,
-                erosion_size=cfg.object_map_erosion_size,
-                use_dbscan=False,
-            )
-
-        return (jax.lax.cond(ok, do, lambda o: o, objmap), key), None
-
-    (objmap, _), _ = jax.lax.scan(obj_body, (state.objmap, rng), (det_masks, det_valid))
+    objmap = OBJ.update_batch(
+        state.objmap, rng, object_depth, det_masks, det_valid, hand.tf,
+        0.0, hand.max_depth, hand.fx, hand.fy,
+        erosion_size=cfg.object_map_erosion_size,
+        use_dbscan=False,
+    )
     objmap = OBJ.update_explored(objmap, hand.tf, hand.max_depth, hand.fov)
     target_detected = OBJ.has_object(objmap)
     obj_goal, objmap = OBJ.get_best_object(objmap, robot_xy)
