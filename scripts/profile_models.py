@@ -129,8 +129,9 @@ def profile_gdino(batch: int, image_size: int = 800) -> None:
         jnp.asarray(pos, jnp.int32), jnp.zeros((1, 12), bool),
     )
     imgs = jax.random.uniform(jax.random.PRNGKey(0), (batch, image_size, image_size, 3))
+    ids_b = np.tile(ids, (batch, 1))
     _measure(f"grounding_dino_swint_{image_size}", batch,
-             lambda i: mod.predict(i, ids, np.ones((1, 12), bool))[0], imgs)
+             lambda i: mod.predict(i, ids_b, np.ones((batch, 12), bool))[0], imgs)
 
 
 def main() -> None:

@@ -85,5 +85,17 @@ def resize_bilinear(x: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndarray:
 
 
 def resize_bilinear_hw(x: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndarray:
-    """Same for channel-less (..., H, W) arrays (e.g. bool/float masks)."""
-    return resize_bilinear(x[..., None], h_out, w_out)[..., 0]
+    """Same for channel-less (..., H, W) arrays (e.g. depth, masks).
+
+    Contracts H and W directly — appending a size-1 channel dim would make
+    the lane dimension 1 and waste 127/128 of the VPU/MXU."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    dt = x.dtype
+    out = x
+    if h_in != h_out:
+        R = jnp.asarray(_interp_matrix(h_in, h_out, "linear"))
+        out = jnp.einsum("oh,...hw->...ow", R, out.astype(jnp.float32))
+    if w_in != w_out:
+        C = jnp.asarray(_interp_matrix(w_in, w_out, "linear"))
+        out = jnp.einsum("ow,...hw->...ho", C, out.astype(jnp.float32))
+    return out.astype(dt)
