@@ -43,6 +43,8 @@ from functools import partial
 
 import numpy as np
 
+from vlfm_tpu.ops.resize import resize_bilinear, resize_bilinear_hw
+
 REFERENCE_STEPS_PER_S = 3.0  # optimistic trace-estimate, see module docstring
 
 
@@ -312,16 +314,12 @@ def make_system(batch: int = 32):
         xyxy, scores, cls, valid = top_detections(
             boxes, logits, capacity=k, threshold=cfg.non_coco_threshold
         )
-        from vlfm_tpu.ops.resize import resize_bilinear
-
         sam_imgs = resize_bilinear(rgb.astype(jnp.float32), sam_size, sam_size)
         masks_all, _ = SAM._segment(
             sam.module, sam_p, sam_imgs, xyxy,
             fused=jax.default_backend() == "tpu",
         )
         masks_lr = masks_all[:, :, 0] > 0.0  # multimask_output=False
-        from vlfm_tpu.ops.resize import resize_bilinear_hw
-
         masks = resize_bilinear_hw(
             masks_lr.astype(jnp.float32), cam.height, cam.width
         ) > 0.5
@@ -356,14 +354,17 @@ def make_system(batch: int = 32):
     # call re-marshals the ~700 param buffer handles over the tunnel (~260 ms
     # — 44% of a step's wall time, measured); a serving runtime keeps weights
     # resident and streams only observations, which the scan models.
+    # The per-step rgb buffer is essential for honesty: a loop-invariant
+    # frame would let XLA hoist the whole perception stack out of the scan.
     @partial(jax.jit, static_argnames=("chunk",))
-    def system_chunk(itm_p, det_p, sam_p, bs, rgb, t0, rng, chunk=8):
-        def body(carry, i):
+    def system_chunk(itm_p, det_p, sam_p, bs, rgb_chunk, t0, rng, chunk=8):
+        def body(carry, xs):
+            i, rgb_t = xs
             bs2, acts = _system_step(
-                itm_p, det_p, sam_p, carry, rgb, t0 + i, jax.random.fold_in(rng, i)
+                itm_p, det_p, sam_p, carry, rgb_t, t0 + i, jax.random.fold_in(rng, i)
             )
             return bs2, acts
-        return jax.lax.scan(body, bs, jnp.arange(chunk))
+        return jax.lax.scan(body, bs, (jnp.arange(chunk), rgb_chunk))
 
     params3 = (itm_model.params, detector.params, sam.params)
 
@@ -394,10 +395,16 @@ def bench_full_stack(batch: int = 32, iters: int = 2, chunk: int = 8):
     sam_size, k = sysd["sam_size"], sysd["k"]
     timings = {"model_init_s": sysd["model_init_s"]}
 
+    # per-step observation buffer for the chunked scan (distinct frames so
+    # nothing perception-side is loop-invariant)
+    rgb_chunk = jax.random.randint(
+        jax.random.PRNGKey(4), (chunk, *rgb.shape), 0, 255, jnp.uint8
+    )
+
     # compile
     t0 = time.time()
     bs2, acts = system_chunk(
-        *params3, bstate, rgb, jnp.int32(0), jax.random.PRNGKey(3), chunk=chunk
+        *params3, bstate, rgb_chunk, jnp.int32(0), jax.random.PRNGKey(3), chunk=chunk
     )
     _sync(acts)
     timings["compile_s"] = round(time.time() - t0, 1)
@@ -419,11 +426,9 @@ def bench_full_stack(batch: int = 32, iters: int = 2, chunk: int = 8):
     timings["itm_ms_per_batch"] = steady_ms(comp)
     det = lambda: detector.detect(detector.preprocess(rgb), qids, qmask)[1]
     timings["detector_ms_per_batch"] = steady_ms(det)
-    from vlfm_tpu.ops.resize import resize_bilinear as _rb
-
     seg_boxes = jnp.tile(jnp.asarray([[[0.2, 0.2, 0.8, 0.8]]]), (batch, k, 1))
     seg = lambda: sam.segment_boxes(
-        _rb(rgb.astype(jnp.float32), sam_size, sam_size), seg_boxes)[0]
+        resize_bilinear(rgb.astype(jnp.float32), sam_size, sam_size), seg_boxes)[0]
     timings["sam_ms_per_batch"] = steady_ms(seg)
 
     # measure steady-state system throughput (chunked dispatch)
@@ -431,7 +436,7 @@ def bench_full_stack(batch: int = 32, iters: int = 2, chunk: int = 8):
     bs = bstate
     for i in range(iters):
         bs, acts = system_chunk(
-            *params3, bs, rgb, jnp.int32(i * chunk), jax.random.PRNGKey(10 + i),
+            *params3, bs, rgb_chunk, jnp.int32(i * chunk), jax.random.PRNGKey(10 + i),
             chunk=chunk,
         )
     _sync(acts)

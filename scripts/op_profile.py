@@ -1,6 +1,6 @@
 """Op-level on-chip profile of one perception model.
 
-Usage:  python scripts/op_profile.py {blip2|owl|sam|gdino|mapping} [--batch N]
+Usage:  python scripts/op_profile.py {system|blip2|owl|sam|tinyvit|tinyvit_fast} [--batch N]
 
 Captures a jax.profiler trace of the steady-state batched forward and prints
 the top self-time ops (via tensorboard_plugin_profile's trace conversion) —

@@ -145,3 +145,28 @@ def test_update_batch_equals_sequential():
         np.asarray(batched.points), np.asarray(seq.points), atol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(batched.slot_in_range), np.asarray(seq.slot_in_range))
+
+
+def test_subsample_never_loses_small_masks():
+    """A 1-pixel mask at odd coordinates must still be sampleable: the
+    coarse sampling lattice is an any-pool, not a decimation."""
+    import jax
+
+    h, w = 16, 20
+    for (r, c) in [(3, 5), (0, 0), (15, 19), (7, 18)]:
+        eroded = jnp.zeros((h, w), bool).at[r, c].set(True)
+        idx, keep = OBJ._subsample(jax.random.PRNGKey(0), eroded, 8)
+        assert bool(keep[0]), (r, c)
+        assert int(idx[0]) == r * w + c, (int(idx[0]), r * w + c)
+
+
+def test_subsample_indices_within_mask():
+    import jax
+
+    rng = np.random.default_rng(3)
+    eroded = jnp.asarray(rng.random((32, 40)) < 0.1)
+    idx, keep = OBJ._subsample(jax.random.PRNGKey(1), eroded, 64)
+    flat = np.asarray(eroded).reshape(-1)
+    for i, k in zip(np.asarray(idx), np.asarray(keep)):
+        if k:
+            assert flat[i]

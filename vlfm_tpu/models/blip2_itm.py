@@ -27,6 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from vlfm_tpu.ops.resize import resize_matmul
 
 from vlfm_tpu.models.qformer import QFormer, QFormerConfig, TextEmbeddings
 from vlfm_tpu.models.vit import ViTConfig, ViTEncoder
@@ -153,8 +154,6 @@ class BLIP2ITM:
         """(B, H, W, 3) uint8 -> resized float [0, 1] at model resolution."""
         s = self.cfg.vit.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
-        from vlfm_tpu.ops.resize import resize_matmul
-
         return resize_matmul(x, s, s, "cubic")
 
 

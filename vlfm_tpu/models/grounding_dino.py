@@ -41,6 +41,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from vlfm_tpu.ops.resize import resize_bilinear
 
 from vlfm_tpu.models.swin import SwinBackbone, SwinConfig
 
@@ -836,8 +837,6 @@ class GroundingDinoQueryAdapter:
     def preprocess(self, rgb_uint8):
         s = self.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
-        from vlfm_tpu.ops.resize import resize_bilinear
-
         x = resize_bilinear(x, s, s)
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)

@@ -28,9 +28,9 @@ class FastLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
-        from vlfm_tpu.ops.conv_fused import _default_interpret
+        from vlfm_tpu.ops.backend import default_interpret
 
-        if not _default_interpret():
+        if not default_interpret():
             from vlfm_tpu.ops.norms import layer_norm
 
             return layer_norm(x, scale, bias, eps=self.epsilon)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlfm_tpu.models.layers import FastLayerNorm
+from vlfm_tpu.ops.resize import resize_bilinear
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -262,8 +263,6 @@ class OwlViTDetector:
     def preprocess(self, rgb_uint8: jnp.ndarray) -> jnp.ndarray:
         s = self.cfg.vision.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
-        from vlfm_tpu.ops.resize import resize_bilinear
-
         return resize_bilinear(x, s, s)
 
 

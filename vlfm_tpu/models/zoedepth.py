@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vlfm_tpu.ops.resize import resize_bilinear, resize_bilinear_hw
+
 
 # ---------------------------------------------------------------------------
 # config
@@ -684,12 +686,8 @@ class ZoeDepth:
         s = self.cfg.beit.image_size
         x = rgb_uint8.astype(jnp.float32) / 255.0
         x = (x - self.MEAN) / self.STD
-        from vlfm_tpu.ops.resize import resize_bilinear
-
         x = resize_bilinear(x, s, s)
         metric = self.predict(x)
-        from vlfm_tpu.ops.resize import resize_bilinear_hw
-
         metric = resize_bilinear_hw(
             metric, rgb_uint8.shape[1], rgb_uint8.shape[2]
         )

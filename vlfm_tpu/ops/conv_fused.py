@@ -46,13 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _default_interpret() -> bool:
-    # respect a pinned jax_default_device (the axon TPU plugin ignores
-    # JAX_PLATFORMS, so hermetic CPU runs pin the device instead)
-    dev = jax.config.jax_default_device
-    if dev is not None:
-        return getattr(dev, "platform", "cpu") != "tpu"
-    return jax.default_backend() != "tpu"
+from vlfm_tpu.ops.backend import default_interpret as _default_interpret
 
 
 # Chebyshev LSQ fit of q(u) = (Phi(x) - 0.5)/x in u = x^2 on [0, 16];

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vlfm_tpu.ops.conv_fused import _default_interpret
+from vlfm_tpu.ops.backend import default_interpret
 
 
 def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
@@ -53,7 +53,7 @@ def layer_norm(
     normalize to bias and are sliced away by the reshape back).
     """
     if interpret is None:
-        interpret = _default_interpret()
+        interpret = default_interpret()
     d = x.shape[-1]
     lead = x.shape[:-1]
     rows = 1

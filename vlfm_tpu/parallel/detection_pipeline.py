@@ -29,6 +29,8 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from vlfm_tpu.ops.resize import resize_bilinear, resize_bilinear_hw
 import numpy as np
 
 from vlfm_tpu.models.coco_classes import COCO_CLASSES, is_coco_target
@@ -155,8 +157,6 @@ class DetectionPipeline:
             xyxy, scores, cls, valid = self._open_vocab(
                 rgb, target, self.non_coco_threshold
             )
-
-        from vlfm_tpu.ops.resize import resize_bilinear, resize_bilinear_hw
 
         sam_imgs = resize_bilinear(
             rgb.astype(jnp.float32),
