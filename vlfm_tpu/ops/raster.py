@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Must cover the cone's far CORNERS, radius max_depth / cos(hfov/2): the
 # reference splats every pixel with z < max_depth (obstacle_map.py:93), and at
@@ -31,10 +32,13 @@ _RADIAL_BINS = 160
 
 
 def _dilate_cols(hist: jnp.ndarray, k: int) -> jnp.ndarray:
+    """OR-dilate along the column axis; works on bool or bit-packed uint32
+    words (the OR dilates all 32 bins of a word at once)."""
     if k <= 1:
         return hist
+    zero = jnp.zeros((), hist.dtype)
     return jax.lax.reduce_window(
-        hist, False, jax.lax.bitwise_or, (k, 1), (1, 1), "SAME"
+        hist, zero, jax.lax.bitwise_or, (k, 1), (1, 1), "SAME"
     )
 
 
@@ -78,11 +82,7 @@ def splat_depth_to_window(
             for k in range(n_words)
         ],
         axis=-1,
-    )  # (W, n_words)
-    bit_ids = jnp.arange(32, dtype=jnp.uint32)
-    hist = (
-        (hist_words[:, :, None] >> bit_ids[None, None, :]) & 1
-    ).astype(bool).reshape(w, _RADIAL_BINS)  # (W, R)
+    )  # (W, n_words) — stays bit-packed through dilation and the gather
 
     # Column-dilate by the angular footprint of one grid cell at each radius:
     # reach(cols) ~= (cell_diag/2) / (r * dphi_min), with the conservative
@@ -96,31 +96,48 @@ def splat_depth_to_window(
     ).astype(jnp.int32)
     # Variant ladder must track ``reach`` closely: over-dilating paints an arc
     # of several grid cells around every true hit (at 5 m, +-4 columns is
-    # already +-5 cells), so the ladder starts at +-1.
+    # already +-5 cells), so the ladder starts at +-1. Per-bin variant
+    # selection happens in packed space: for variant v, a (n_words,) bitmask
+    # of the bins whose reach selects v.
     halves = (1, 2, 4, 8, 16, 32)
-    variants = jnp.stack([_dilate_cols(hist, 2 * k + 1) for k in halves])
+    variants = [_dilate_cols(hist_words, 2 * k + 1) for k in halves]
     sel = jnp.searchsorted(jnp.asarray(halves, jnp.float32), reach.astype(jnp.float32))
-    sel = jnp.clip(sel, 0, len(halves) - 1)
-    hist_d = jnp.take_along_axis(
-        variants, jnp.broadcast_to(sel[None, None, :], (1, w, _RADIAL_BINS)), axis=0
-    )[0]
+    sel = jnp.clip(sel, 0, len(halves) - 1)  # (R,)
+    bit_vals = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    sel_w = sel.reshape(n_words, 32)
+    hist_d_words = jnp.zeros_like(hist_words)
+    for v in range(len(halves)):
+        vmask = jnp.sum(
+            jnp.where(sel_w == v, bit_vals[None, :], jnp.uint32(0)), axis=1,
+            dtype=jnp.uint32,
+        )  # (n_words,)
+        hist_d_words = hist_d_words | (variants[v] & vmask[None, :])
 
-    # cartesian gather over the window
+    # Cartesian lookup over the window. The cell radius is rotation-invariant,
+    # so the radial bin (and its word/bit split) is a COMPILE-TIME constant —
+    # only the column index depends on yaw. One flat 1-D word gather per cell
+    # (a 2-D (col, bin) gather costs ~2x more per cell on TPU).
     half = window // 2
-    dr = (jnp.arange(window, dtype=jnp.float32) - half)[:, None] / pps
-    dc = (jnp.arange(window, dtype=jnp.float32) - half)[None, :] / pps
-    dx = dr + jnp.zeros((1, window))
-    dy = -dc + jnp.zeros((window, 1))
+    dr_np = (np.arange(window, dtype=np.float32) - half)[:, None] / pps
+    dc_np = (np.arange(window, dtype=np.float32) - half)[None, :] / pps
+    radial_np = np.sqrt(dr_np * dr_np + dc_np * dc_np)
+    rbin_np = np.round(radial_np * pps).astype(np.int32)
+    rbin_ok = (rbin_np >= 0) & (rbin_np < _RADIAL_BINS)
+    rbin_np = np.clip(rbin_np, 0, _RADIAL_BINS - 1)
+    rword = jnp.asarray(rbin_np // 32)  # (window, window) static
+    rbit_mask = jnp.asarray((np.uint32(1) << (rbin_np % 32).astype(np.uint32)))
+    static_ok = jnp.asarray(rbin_ok)
+
+    dx = jnp.asarray(dr_np) + jnp.zeros((1, window))
+    dy = jnp.asarray(-dc_np) + jnp.zeros((window, 1))
     cos_t, sin_t = jnp.cos(yaw), jnp.sin(yaw)
     fwd = dx * cos_t + dy * sin_t
     left = -dx * sin_t + dy * cos_t
-    radial = jnp.sqrt(fwd * fwd + left * left)
 
     # column of the cell's bearing: u = W/2 + fx * tan(phi), phi = atan2(-left, fwd)
     col = jnp.round(w // 2 + fx * (-left) / jnp.maximum(fwd, 1e-6)).astype(jnp.int32)
-    inside = (fwd > 0.0) & (col >= 0) & (col < w)
+    inside = (fwd > 0.0) & (col >= 0) & (col < w) & static_ok
     col = jnp.clip(col, 0, w - 1)
-    rbin = jnp.round(radial * pps).astype(jnp.int32)
-    inside &= (rbin >= 0) & (rbin < _RADIAL_BINS)
-    rbin = jnp.clip(rbin, 0, _RADIAL_BINS - 1)
-    return inside & hist_d[col, rbin]
+    flat = hist_d_words.reshape(-1)  # (W * n_words,)
+    words = flat[col * n_words + rword]  # (window, window) uint32
+    return inside & ((words & rbit_mask) != 0)
