@@ -148,3 +148,34 @@ class TestRealityPolicy:
                 break
             obs = env.step(action)
         assert stopped, "never stopped at the detected object"
+
+
+def test_env_routes_negative_arm_yaws_to_the_arm():
+    """All eight INITIAL_ARM_YAWS (incl. the negative ones) must reach
+    set_arm_joints; only the exact -1.0 sentinel is a base action
+    (objectnav_env.py:102-113). A threshold test here once silently sent
+    -90/-60/-30 deg to the base."""
+    import math
+
+    from vlfm_tpu.policy.reality import INITIAL_ARM_YAWS
+    from vlfm_tpu.reality.envs import ObjectNavEnv
+    from vlfm_tpu.reality.robots import FakeRobot
+
+    robot = FakeRobot()
+    env = ObjectNavEnv(robot)
+    env.reset("toilet")
+
+    arm_calls = []
+    base_calls = []
+    robot.set_arm_joints = lambda joints, travel_time=1.0: arm_calls.append(
+        float(joints[0])
+    )
+    robot.command_base_velocity = lambda ang, lin: base_calls.append((ang, lin))
+
+    for yaw in INITIAL_ARM_YAWS:
+        env.step({"arm_yaw": float(yaw), "angular": 0.0, "linear": 0.0})
+    assert len(arm_calls) == len(INITIAL_ARM_YAWS), (arm_calls, base_calls)
+    assert math.isclose(arm_calls[0], float(INITIAL_ARM_YAWS[0]))
+
+    env.step({"arm_yaw": -1.0, "angular": 0.3, "linear": 0.1})
+    assert base_calls == [(0.3, 0.1)]

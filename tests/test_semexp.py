@@ -98,8 +98,10 @@ def test_already_evaluated_fast_forward(tmp_path):
         make_envs(2), agent, 2, max_episode_length=60,
         log_dir=log_dir, print_fn=lambda s: None,
     )
-    # episode 0 was fast-forwarded with a STOP and not re-logged; episode 1 ran
-    assert len(results) == 2
-    assert results[0]["episode_id"] == "0"
+    # episode 0 was fast-forwarded with a STOP, not re-logged, and its bogus
+    # 1-step metrics must NOT enter results (another shard owns it); only
+    # episode 1 is this process's result
+    assert len(results) == 1
+    assert results[0]["episode_id"] == "1"
     files = os.listdir(log_dir)
     assert len(files) == 2  # the pre-existing record + episode 1

@@ -79,3 +79,16 @@ def test_farm_overlaps_groups():
     )
     assert stats.dispatches > 0
     assert stats.overlapped > 0
+
+
+@needs_native
+def test_farm_more_workers_than_lanes():
+    """Leftover episode seeds must land only on workers that own lanes —
+    routing them to never-spawned lane-less workers stalled the farm."""
+    seeds = [0, 1, 2, 3, 4, 5]
+    farm, _ = sim_farm.run_episodes_farm(
+        seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="open_room_plan", env_cfg=ENV, workers=4,
+        ring_prefix="vlfm_test_farm_wl",
+    )
+    assert set(farm) == set(seeds)

@@ -128,6 +128,7 @@ def evaluate_semexp(
         agent.reset()
         ep_id = scene_id = target_object = ""
         done = False
+        skipped = False
         for step in range(max_episode_length):
             if step == 0:
                 ep_id, scene_id = infos[0]["episode_id"], infos[0]["scene_id"]
@@ -136,6 +137,10 @@ def evaluate_semexp(
 
             if log_dir and log_saver.is_evaluated(ep_id, scene_id, log_dir):
                 print_fn(f"Episode {ep_id} in scene {scene_id} already evaluated")
+                # fast-forward with STOP; this process did NOT evaluate the
+                # episode, so its 1-step metrics must not enter results
+                # (another shard owns them — semexp eval.py:90-93 resume)
+                skipped = True
                 obs, rew, done, infos = envs.step(STOP_ACTION)
             else:
                 obs_dict = merge_obs_infos(obs, infos)
@@ -148,6 +153,8 @@ def evaluate_semexp(
                 obs, rew, done, infos = envs.step(int(action))
 
             if done:
+                if skipped:
+                    break
                 data = {
                     "success": infos[0]["success"],
                     "spl": infos[0]["spl"],

@@ -140,11 +140,20 @@ class DetectionPipeline:
     def __call__(self, rgb: jnp.ndarray, target: str):
         """(B, H, W, 3) uint8 -> (masks (B, K, H, W) bool, valid (B, K))."""
         b, h, w = rgb.shape[:3]
-        if is_coco_target(target) and self.coco_detector is not None:
-            xyxy, scores, cls, valid = self._coco_path(rgb, target)
-            # COCO miss -> open-vocab retry at the lower threshold
-            # (base_objectnav_policy.py:235-239). Both branches are batched;
-            # the retry is a per-image select.
+        if is_coco_target(target):
+            # COCO targets use the high-precision threshold first; a miss
+            # retries open-vocab at the lower threshold
+            # (base_objectnav_policy.py:221-241). Both branches are batched;
+            # the retry is a per-image select. Without a dedicated closed-set
+            # detector the primary pass is the open-vocab detector at the
+            # SAME 0.8 threshold — the two-threshold semantics must not
+            # silently degrade to a flat 0.4 (review finding).
+            if self.coco_detector is not None:
+                xyxy, scores, cls, valid = self._coco_path(rgb, target)
+            else:
+                xyxy, scores, cls, valid = self._open_vocab(
+                    rgb, target, self.coco_threshold
+                )
             xyxy2, scores2, cls2, valid2 = self._open_vocab(
                 rgb, target, self.non_coco_threshold
             )

@@ -113,10 +113,13 @@ class ObjectNavEnv(PointNavEnv):
 
     def step(self, action) -> Dict[str, Any]:  # type: ignore[override]
         # Arm-yaw actions move the gripper camera, not the base
-        # (objectnav_env.py:102-113); -1 means a base action. The step counter
+        # (objectnav_env.py:102-113); exactly -1 means a base action (the
+        # reference's sentinel, objectnav_env.py:104 — an inequality test
+        # would misroute the negative initialization yaws -90/-60/-30 deg,
+        # and no INITIAL_ARM_YAWS entry equals -1.0 rad). The step counter
         # increments BEFORE observing (reference: _num_steps += 1 precedes
         # _get_obs, objectnav_env.py:114-117).
-        if isinstance(action, dict) and action.get("arm_yaw", -1.0) >= -0.5:
+        if isinstance(action, dict) and action.get("arm_yaw", -1.0) != -1.0:
             joints = np.zeros(6, np.float32)
             joints[0] = action["arm_yaw"]
             self.robot.set_arm_joints(joints, travel_time=0.5)

@@ -121,6 +121,13 @@ def run_episodes_recycled(
     detected = [False] * lanes
     limit = max_steps or lane_env[0].cfg.max_steps
 
+    # reference-form taxonomy inputs, per lane — the same signals run_episode
+    # feeds compute_result, so all drivers produce identical failure causes
+    from vlfm_tpu.utils.measurements import TraveledStairs
+
+    stairs = [TraveledStairs() for _ in range(lanes)]
+    last_goal = [None] * lanes
+
     results = {}
     stats = DriverStats()
     t0 = time.time()
@@ -143,6 +150,7 @@ def run_episodes_recycled(
         )
         actions_np = np.asarray(actions)
         detected_np = np.asarray(infos.target_detected)
+        goals_np = np.asarray(infos.goal)
 
         done_mask = np.zeros(lanes, bool)
         for i in range(lanes):
@@ -152,11 +160,25 @@ def run_episodes_recycled(
             o = obs_list[i]
             seen[i] = seen[i] or o["target_visible"]
             detected[i] = detected[i] or bool(detected_np[i])
+            stairs[i].update(o.get("agent_z", 0.0))
+            last_goal[i] = goals_np[i]
             obs_list[i] = lane_env[i].step(int(actions_np[i]))
             lane_step[i] += 1
             stats.env_steps += 1
             if obs_list[i]["done"] or lane_step[i] >= limit:
                 e = lane_env[i]
+                target = getattr(e.plan, "target", None) if hasattr(e, "plan") else None
+                seen_map = (
+                    M.was_target_seen(
+                        np.asarray(bstate.obstacle.explored[i]), spec, target
+                    )
+                    if target is not None else False
+                )
+                fp = None
+                if target is not None and detected[i] and last_goal[i] is not None:
+                    fp = M.was_false_positive(
+                        last_goal[i], target, e.plan.target_radius
+                    )
                 results[lane_seed[i]] = M.compute_result(
                     called_stop=e.called_stop,
                     distance_to_goal=obs_list[i]["distance_to_goal"],
@@ -166,8 +188,11 @@ def run_episodes_recycled(
                     steps=e.steps,
                     max_steps=limit,
                     target_detected=detected[i],
-                    target_seen=seen[i],
+                    target_seen=seen[i] or seen_map,
                     collisions=e.collisions,
+                    false_positive=fp,
+                    traveled_stairs=stairs[i].traveled_stairs,
+                    feasible=getattr(e, "path_feasible", True),
                 )
                 done_mask[i] = True
                 if queue:  # recycle the lane in place
@@ -177,6 +202,8 @@ def run_episodes_recycled(
                     shortest[i] = lane_env[i].shortest_path_length()
                     lane_step[i] = 0
                     seen[i] = detected[i] = False
+                    stairs[i] = TraveledStairs()
+                    last_goal[i] = None
                 else:
                     lane_active[i] = False
         if done_mask.any():
@@ -249,6 +276,7 @@ def run_episodes_batched(
         )
         actions_np = np.asarray(actions)
         detected_np = np.asarray(infos.target_detected)
+        goals_np = np.asarray(infos.goal)
         for i, (env, o) in enumerate(zip(envs, obs_list)):
             if o["done"]:
                 continue

@@ -42,7 +42,9 @@ from vlfm_tpu.runner.obsring import ObservationRing
 KIND_OBS = 0
 KIND_RESULT = 1
 
-_OBS_HEAD = struct.Struct("<IIIIIfffff")  # lane kind seed step flags heading x y dist agent_z
+_OBS_HEAD = struct.Struct("<IIIIIfffff")  # lane kind seed step flags heading x y dist cosine
+# NOTE: agent_z does not cross the ring (the farm cannot feed TraveledStairs);
+# extend the header if stairs-taxonomy episodes need to run under the farm.
 _ACT_REC = struct.Struct("<IIIi")  # lane seed step action
 _RES_REC = struct.Struct("<IIIIIIIfff")  # lane kind seed called_stop collisions steps seen dist shortest path_len
 
@@ -261,8 +263,11 @@ def run_episodes_farm(
     seeds_list = list(episode_seeds)
     for lane in range(lanes):
         seed_splits[int(lane_owner[lane])].append(seeds_list[lane])
+    # leftover episodes go only to workers that own lanes (a lane-less worker
+    # is never spawned, so seeds routed there would stall the farm)
+    active = [wi for wi in range(workers) if len(lane_spans[wi]) > 0]
     for i, s in enumerate(seeds_list[lanes:]):
-        seed_splits[i % workers].append(s)
+        seed_splits[active[i % len(active)]].append(s)
     # Workers are numpy-only and must NEVER initialize an accelerator
     # backend: single-client device tunnels (axon) hang or fail on a second
     # claim. Spawned children inherit os.environ at start(), so pin the
