@@ -18,8 +18,14 @@ a host pipeline shaped for a TPU driver process:
   of serializing (the round-1 driver alternated them strictly).
 
 Scheduling independence: per-(episode-seed, step) rng keys and per-lane state
-resets make every episode's result identical to the synchronous drivers'
-(tests/test_sim_farm.py pins farm == recycled == single-episode).
+resets make every episode's success/SPL/steps/detections identical to the
+synchronous drivers' (tests/test_sim_farm.py pins farm == recycled ==
+single-episode on those fields). Known limitation: the farm's failure-cause
+taxonomy uses the transported summary fields only — the map-based
+was_target_seen refinement, the nav-goal false-positive test, and
+TraveledStairs (agent_z does not cross the ring) are available in
+run_episode / run_episodes_recycled but not here; prefer those drivers when
+the full reference taxonomy matters.
 
 Workers never import jax; the records carry f32 depth so device inputs are
 bit-identical to the in-process path.
