@@ -1,0 +1,370 @@
+"""Decision-level golden parity against the reference's OWN policy code.
+
+VERDICT round-2 item #2: import ``vlfm.policy.itm_policy`` /
+``acyclic_enforcer`` from /root/reference with the VLM clients and heavy deps
+stubbed, drive both the reference's ``_get_best_frontier``
+(itm_policy.py:76-152) and vlfm_tpu's ``select_best_frontier`` through shared
+synthetic frontier/value sequences, and assert step-for-step agreement of
+chosen frontiers, stickiness, value updates, and V3 channel reduction.
+
+Documented divergences (each pinned by its own test below):
+
+1. **The reference's AcyclicEnforcer is behaviorally inert.** ``StateAction``
+   defines ``__hash__`` but not ``__eq__`` (acyclic_enforcer.py:8-17), so set
+   membership falls back to object identity and ``check_cyclic`` can never
+   return True for a freshly constructed probe — the cyclic-suppression branch
+   (itm_policy.py:128-135) and the farthest-frontier fallback
+   (itm_policy.py:137-143) are dead code in the reference as shipped. Also,
+   ``history`` is a *class* attribute (acyclic_enforcer.py:20), shared across
+   every enforcer instance and never truly reset. vlfm_tpu implements the
+   *documented intent* (suppress exact (position, frontier, top-two-values)
+   repeats, millimetre-quantized); the only behavioral difference is that we
+   additionally break oscillation loops the reference falls into.
+2. **Tie order under exactly equal values is unspecified in the reference**
+   (np.argsort default introsort, value_map.py:183); we are stable-descending.
+   Test values are generated tie-free on a 1/128 grid so both sides sort
+   identically and all 0.01-threshold comparisons are unambiguous in float32.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+REF = "/root/reference"
+
+
+def _stub(name: str, **attrs) -> None:
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference policy modules with external deps stubbed.
+
+    Only pure-python decision logic runs; none of the stubs is ever invoked by
+    the code paths under test (``_get_best_frontier`` touches numpy + the
+    acyclic enforcer + ``closest_point_within_threshold`` only).
+    """
+    sys.path.insert(0, REF)
+
+    class _ConfigStore:
+        @staticmethod
+        def instance():
+            class _S:
+                def store(self, *a, **k):
+                    pass
+
+            return _S()
+
+    _stub("frontier_exploration")
+    _stub(
+        "frontier_exploration.frontier_detection",
+        detect_frontier_waypoints=lambda *a, **k: np.zeros((0, 2)),
+    )
+    _stub("frontier_exploration.utils")
+    _stub(
+        "frontier_exploration.utils.fog_of_war",
+        reveal_fog_of_war=lambda m, c, *a, **k: c,
+    )
+    _stub("flask", Flask=object, jsonify=lambda *a, **k: None, request=None)
+    _stub("hydra")
+    _stub("hydra.core")
+    _stub("hydra.core.config_store", ConfigStore=_ConfigStore)
+    _stub("open3d")
+    _stub("depth_camera_filtering", filter_depth=lambda d, *a, **k: d)
+    _stub("gym")
+    _stub("gym.spaces", Dict=dict, Box=object, Discrete=object)
+    sys.modules["gym"].spaces = sys.modules["gym.spaces"]
+    _stub("torchvision")
+    _stub("torchvision.transforms")
+    _stub("torchvision.transforms.functional")
+
+    import vlfm.policy.itm_policy as ref_itm
+    import vlfm.policy.utils.acyclic_enforcer as ref_ac
+    import vlfm.utils.geometry_utils as ref_gu
+
+    yield types.SimpleNamespace(itm=ref_itm, ac=ref_ac, gu=ref_gu)
+    sys.path.remove(REF)
+
+
+def make_ref_policy(ref):
+    """A bare reference ITMPolicyV2 with only the _get_best_frontier state.
+
+    Construction via __new__ skips the ctor's VLM clients / pointnav / maps —
+    none of which _get_best_frontier reads. The acyclic history (a shared
+    class attribute in the reference) is re-bound per instance to isolate
+    tests from each other.
+    """
+    p = ref.itm.ITMPolicyV2.__new__(ref.itm.ITMPolicyV2)
+    p._acyclic_enforcer = ref.ac.AcyclicEnforcer()
+    p._acyclic_enforcer.history = set()
+    p._last_value = float("-inf")
+    p._last_frontier = np.zeros(2)
+    p._observations_cache = {}
+    return p
+
+
+class TpuSelector:
+    """Stateful wrapper over vlfm_tpu's functional select_best_frontier."""
+
+    def __init__(self, capacity: int = 8):
+        from vlfm_tpu.policy import acyclic as AC
+
+        self.AC = AC
+        self.cap = capacity
+        self.last_frontier = jnp.zeros(2)
+        self.last_value = jnp.float32(-jnp.inf)
+        self.acyclic = AC.create()
+
+    def step(self, frontiers: np.ndarray, values: np.ndarray, robot_xy: np.ndarray):
+        from vlfm_tpu.policy.frontier_selection import select_best_frontier
+
+        f = frontiers.shape[0]
+        pad = self.cap - f
+        fr = jnp.asarray(
+            np.pad(frontiers.astype(np.float32), ((0, pad), (0, 0))), jnp.float32
+        )
+        vals = jnp.asarray(np.pad(values.astype(np.float32), (0, pad)))
+        valid = jnp.arange(self.cap) < f
+        choice = select_best_frontier(
+            fr,
+            valid,
+            vals,
+            jnp.asarray(robot_xy, jnp.float32),
+            self.last_frontier,
+            self.last_value,
+            self.acyclic,
+        )
+        self.last_frontier = choice.last_frontier
+        self.last_value = choice.last_value
+        self.acyclic = choice.acyclic
+        return np.asarray(choice.frontier), float(choice.value)
+
+
+def ref_step(p, frontiers: np.ndarray, values: np.ndarray, robot_xy: np.ndarray):
+    """One reference _get_best_frontier call with a shared stable sort.
+
+    The production sort (value_map.sort_waypoints, value_map.py:146-187) is
+    pinned by test_reference_parity.py; here both sides receive the identical
+    stable-descending order so the *selection* logic is isolated.
+    """
+    order = np.argsort(-values, kind="stable")
+    p._observations_cache["robot_xy"] = robot_xy.astype(np.float64)
+    p._sort_frontiers_by_value = lambda obs, f: (
+        frontiers[order].astype(np.float64),
+        [float(values[i]) for i in order],
+    )
+    bf, bv = p._get_best_frontier(None, frontiers.astype(np.float64))
+    return np.asarray(bf), float(bv)
+
+
+def _grid_vals(rng, n):
+    """Tie-free values on a 1/128 grid (exact in float32 and float64)."""
+    v = rng.choice(np.arange(8, 120), size=n, replace=False) / 128.0
+    return v.astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# 1. the reference enforcer's actual behavior, pinned
+# ---------------------------------------------------------------------------
+def test_reference_acyclic_enforcer_is_inert(ref):
+    """acyclic_enforcer.py:19-29 as shipped: check_cyclic never fires.
+
+    StateAction has __hash__ but no __eq__, so `in` falls back to identity;
+    a fresh probe with identical values is never "in" the history.
+    """
+    ae = ref.ac.AcyclicEnforcer()
+    pos = np.array([1.0, 2.0])
+    act = np.array([3.0, 4.0])
+    other = (0.75, 0.5)
+    ae.add_state_action(pos, act, other)
+    assert ae.check_cyclic(np.array([1.0, 2.0]), np.array([3.0, 4.0]), (0.75, 0.5)) is False
+    # and history is CLASS state: a brand-new enforcer sees the old entries
+    ae2 = ref.ac.AcyclicEnforcer()
+    assert len(ae2.history) == 1
+    ref.ac.AcyclicEnforcer.history = set()  # undo the class-level pollution
+
+
+def test_tpu_acyclic_enforcer_implements_the_intent():
+    """vlfm_tpu's enforcer DOES suppress exact state-action repeats."""
+    from vlfm_tpu.policy import acyclic as AC
+
+    st = AC.create()
+    pos = jnp.array([1.0, 2.0])
+    fr = jnp.array([3.0, 4.0])
+    tt = jnp.array([0.75, 0.5])
+    assert not bool(AC.check_cyclic(st, pos, fr, tt))
+    st = AC.add(st, pos, fr, tt)
+    assert bool(AC.check_cyclic(st, pos, fr, tt))
+    assert not bool(AC.check_cyclic(st, pos, jnp.array([3.0, 4.5]), tt))
+
+
+# ---------------------------------------------------------------------------
+# 2. random-walk step-for-step parity (acyclic branch quiescent on both sides:
+#    state-actions never repeat under continuous robot motion)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_get_best_frontier_random_walk_parity(ref, seed):
+    rng = np.random.default_rng(seed)
+    p = make_ref_policy(ref)
+    ours = TpuSelector()
+
+    # persistent pool of candidate frontiers on a 1/64 m grid (exact float32)
+    pool = rng.integers(-160, 160, size=(16, 2)) / 64.0
+    robot = np.zeros(2)
+    for step in range(60):
+        robot = robot + rng.integers(-8, 9, size=2) / 64.0
+        f = int(rng.integers(1, 7))
+        idx = rng.choice(16, size=f, replace=False)
+        frontiers = pool[idx]
+        values = _grid_vals(rng, f)
+        # occasionally nudge a frontier so the closest-within-0.5m stickiness
+        # path (itm_policy.py:110-115) is exercised, not just exact matches
+        if step % 7 == 3 and f > 1:
+            frontiers = frontiers + rng.integers(-20, 21, size=(f, 2)) / 64.0
+
+        bf_ref, bv_ref = ref_step(p, frontiers, values, robot)
+        bf_tpu, bv_tpu = ours.step(frontiers, values, robot)
+        assert np.allclose(bf_ref, bf_tpu, atol=0), f"step {step}: {bf_ref} vs {bf_tpu}"
+        assert abs(bv_ref - bv_tpu) < 1e-6, f"step {step}: {bv_ref} vs {bv_tpu}"
+
+
+# ---------------------------------------------------------------------------
+# 3. scripted stickiness cases (itm_policy.py:101-124)
+# ---------------------------------------------------------------------------
+def test_stickiness_scripted_cases(ref):
+    p = make_ref_policy(ref)
+    ours = TpuSelector()
+    A = np.array([2.0, 1.0])
+    B = np.array([-1.5, 3.0])
+    C = np.array([4.0, -2.0])
+    r = np.array([0.25, 0.5])
+
+    def both(frontiers, values, robot):
+        bf_r, bv_r = ref_step(p, np.array(frontiers), np.array(values), robot)
+        bf_t, bv_t = ours.step(np.array(frontiers), np.array(values), robot)
+        assert np.array_equal(bf_r, bf_t) and abs(bv_r - bv_t) < 1e-6
+        return bf_r, bv_r
+
+    # step 1: pick the best (B, 0.75)
+    bf, _ = both([A, B, C], [0.5, 0.75, 0.25], r)
+    assert np.array_equal(bf, B)
+    # step 2: B's value dips by < 0.01 -> stick to B even though A is now best
+    bf, _ = both([A, B, C], [100 / 128, 0.75 - 1 / 128, 0.25], r)
+    assert np.array_equal(bf, B)  # 0.7421875 + 0.01 > 0.75
+    # step 3: B gone, but B' within 0.5 m keeps the stick (closest-match path)
+    Bp = B + np.array([0.25, 0.25])  # 0.354 m away
+    bf, _ = both([A, Bp, C], [100 / 128, 0.75 - 1 / 128, 0.25], r)
+    assert np.array_equal(bf, Bp)
+    # step 4: B' value collapses (> 0.01 drop) -> unstick, take the best (A)
+    bf, _ = both([A, Bp, C], [100 / 128, 0.5, 0.25], r + np.array([0.125, 0.0]))
+    assert np.array_equal(bf, A)
+    # step 5: A disappears entirely and nothing is within 0.5 m -> re-pick best
+    bf, _ = both([B, C], [0.375, 0.625], r)
+    assert np.array_equal(bf, C)
+
+
+# ---------------------------------------------------------------------------
+# 4. the documented acyclic divergence, demonstrated on both sides
+# ---------------------------------------------------------------------------
+def test_acyclic_divergence_documented(ref):
+    """On an exact (position, frontier, top-two) repeat the reference re-picks
+    the same frontier (its enforcer being inert); vlfm_tpu suppresses it and
+    takes the next-best, breaking the oscillation loop — the divergence is
+    intentional and strictly loop-breaking."""
+    p = make_ref_policy(ref)
+    ours = TpuSelector()
+    A = np.array([2.0, 1.0])
+    B = np.array([-1.5, 3.0])
+    C = np.array([4.0, -2.0])
+    r0 = np.array([0.0, 0.5])
+
+    # step 1: both pick A; key (r0, A, (0.75, 0.5)) enters both histories
+    bf_r, _ = ref_step(p, np.array([A, B]), np.array([0.75, 0.5]), r0)
+    bf_t, _ = ours.step(np.array([A, B]), np.array([0.75, 0.5]), r0)
+    assert np.array_equal(bf_r, A) and np.array_equal(bf_t, A)
+    # step 2: A gone; last_value 0.75 blocks sticking to anything; both pick B
+    bf_r, _ = ref_step(p, np.array([B]), np.array([0.5]), r0)
+    bf_t, _ = ours.step(np.array([B]), np.array([0.5]), r0)
+    assert np.array_equal(bf_r, B) and np.array_equal(bf_t, B)
+    # step 3: B gone, A back plus far-away C with the SAME top-two as step 1,
+    # robot at the SAME position: the step-1 state-action recurs exactly.
+    bf_r, _ = ref_step(p, np.array([A, C]), np.array([0.75, 0.5]), r0)
+    bf_t, _ = ours.step(np.array([A, C]), np.array([0.75, 0.5]), r0)
+    assert np.array_equal(bf_r, A)  # reference: check_cyclic never fires
+    assert np.array_equal(bf_t, C)  # ours: A suppressed, oscillation broken
+
+
+def test_tpu_farthest_fallback_when_all_cyclic():
+    """itm_policy.py:137-143's fallback is unreachable in the reference (the
+    cyclic check never fires); ours implements it: when every valid frontier
+    is a recorded state-action, take the FARTHEST from the robot. Constructed
+    directly against the functional API — reaching the all-cyclic state
+    through the stateful wrapper requires a value sequence that exactly
+    reproduces historical keys while also defeating stickiness."""
+    from vlfm_tpu.policy import acyclic as AC
+    from vlfm_tpu.policy.frontier_selection import select_best_frontier
+
+    A = np.array([1.0, 0.0])
+    B = np.array([5.0, 0.0])
+    r0 = np.array([0.0, 0.0])
+    st = AC.create()
+    tt = jnp.array([0.75, 0.5], jnp.float32)
+    fr = jnp.asarray(np.array([A, B]), jnp.float32)
+    for i in range(2):
+        st = AC.add(st, jnp.asarray(r0, jnp.float32), fr[i], tt)
+    choice = select_best_frontier(
+        fr,
+        jnp.ones(2, bool),
+        jnp.array([0.75, 0.5]),
+        jnp.asarray(r0, jnp.float32),
+        jnp.zeros(2),  # no last frontier -> no stickiness
+        jnp.float32(-jnp.inf),
+        st,
+    )
+    # both cyclic -> farthest from robot = B (5 m vs 1 m)
+    assert np.array_equal(np.asarray(choice.frontier), B)
+
+
+# ---------------------------------------------------------------------------
+# 5. ITMPolicyV3 dual-channel reduction (itm_policy.py:296-316)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_reduce_values_v3_parity(ref, seed):
+    from vlfm_tpu.policy.frontier_selection import reduce_values_v3
+
+    rng = np.random.default_rng(seed)
+    p3 = ref.itm.ITMPolicyV3.__new__(ref.itm.ITMPolicyV3)
+    for thresh in (0.25, 0.5, 0.75):
+        p3._exploration_thresh = thresh
+        f = int(rng.integers(1, 8))
+        target = _grid_vals(rng, f)
+        explore = _grid_vals(rng, f)
+        tuples = list(zip(target.tolist(), explore.tolist()))
+        want = p3._reduce_values(tuples)
+        got = reduce_values_v3(
+            jnp.stack([jnp.asarray(target), jnp.asarray(explore)], axis=1).astype(
+                jnp.float32
+            ),
+            jnp.ones(f, bool),
+            thresh,
+        )
+        assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # edge: max target EXACTLY the threshold -> target channel (strict <)
+    p3._exploration_thresh = 0.5
+    tuples = [(0.5, 0.125), (0.25, 0.875)]
+    want = p3._reduce_values(tuples)
+    got = reduce_values_v3(
+        jnp.array([[0.5, 0.125], [0.25, 0.875]], jnp.float32), jnp.ones(2, bool), 0.5
+    )
+    assert np.allclose(np.asarray(got), np.asarray(want))
+    assert want == [0.5, 0.25]
