@@ -59,6 +59,7 @@ SLOW_FILES = {
     "test_vqa_veto.py",
     "test_reality_policy.py",
     "test_habitat_loop.py",
+    "test_habitat_env.py",
 }
 
 

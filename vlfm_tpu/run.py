@@ -32,6 +32,12 @@ def main() -> None:
     )
     p.add_argument("--farm-workers", type=int, default=2)
     p.add_argument("--pointnav-weights", default=None, help="torch .pth to convert")
+    p.add_argument(
+        "--habitat-config", default=None,
+        help="habitat backend: habitat-lab config path (defaults to the "
+        "benchmark ObjectNav HM3D config)",
+    )
+    p.add_argument("--video-dir", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -74,11 +80,21 @@ def main() -> None:
         agent = HabitatVLFMAgent(
             cfg, spec, pointnav, FullStackPerception(cfg), version=args.version
         )
+        # One habitat.Env for the whole run; advance() moves it to the next
+        # episode so the loop can claim by episode id before reset.
+        holder: list = [None]
+
+        def factory(i):
+            if holder[0] is None:
+                holder[0] = make_habitat_env(args.habitat_config)
+            return holder[0].advance()
+
         results = evaluate(
-            lambda i: make_habitat_env(args.config),
+            factory,
             agent,
             args.episodes,
             log_dir=args.log_dir,
+            video_dir=args.video_dir,
         )
         print(json.dumps(metrics.aggregate(results), indent=2))
         return
