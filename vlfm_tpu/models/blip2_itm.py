@@ -170,21 +170,23 @@ def _ln(sd, name):
                    "bias": jnp.asarray(np.asarray(sd[f"{name}.bias"]))}}
 
 
-def convert_hf_state_dict(sd: Mapping[str, Any], cfg: BLIP2ITMConfig) -> Dict[str, Any]:
-    """Map a HF Blip2ForImageTextRetrieval state_dict into our param tree."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+def convert_vision_tree(sd: Mapping[str, Any], vit_cfg) -> Dict[str, Any]:
+    """``vision_model.*`` (HF Blip2VisionModel layout, shared by the ITM and
+    conditional-generation checkpoints) -> our ViTEncoder param tree."""
     vit: Dict[str, Any] = {
         "patch_embed": {
             "kernel": jnp.asarray(
-                sd["vision_model.embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0)
+                np.asarray(
+                    sd["vision_model.embeddings.patch_embedding.weight"]
+                ).transpose(2, 3, 1, 0)
             ),
         },
         "class_embedding": jnp.asarray(
-            sd["vision_model.embeddings.class_embedding"].reshape(-1)
+            np.asarray(sd["vision_model.embeddings.class_embedding"]).reshape(-1)
         ),
         "position_embedding": jnp.asarray(
-            sd["vision_model.embeddings.position_embedding"].reshape(
-                -1, cfg.vit.width
+            np.asarray(sd["vision_model.embeddings.position_embedding"]).reshape(
+                -1, vit_cfg.width
             )
         ),
         "post_ln": _ln(sd, "vision_model.post_layernorm"),
@@ -193,7 +195,7 @@ def convert_hf_state_dict(sd: Mapping[str, Any], cfg: BLIP2ITMConfig) -> Dict[st
         vit["patch_embed"]["bias"] = jnp.asarray(
             sd["vision_model.embeddings.patch_embedding.bias"]
         )
-    for i in range(cfg.vit.depth):
+    for i in range(vit_cfg.depth):
         p = f"vision_model.encoder.layers.{i}"
         vit[f"block{i}"] = {
             "ln1": _ln(sd, f"{p}.layer_norm1"),
@@ -202,9 +204,17 @@ def convert_hf_state_dict(sd: Mapping[str, Any], cfg: BLIP2ITMConfig) -> Dict[st
                      "proj": _lin(sd, f"{p}.self_attn.projection")},
             "mlp": {"fc1": _lin(sd, f"{p}.mlp.fc1"), "fc2": _lin(sd, f"{p}.mlp.fc2")},
         }
+    return vit
 
+
+def convert_qformer_tree(
+    sd: Mapping[str, Any], q_cfg, *, text_branch: bool = True
+) -> Dict[str, Any]:
+    """``qformer.*`` -> our QFormer param tree. The conditional-generation
+    checkpoint carries only the query feed-forward branch (no
+    ``intermediate``/``output``); the retrieval checkpoint carries both."""
     qf: Dict[str, Any] = {"embed_ln": _ln(sd, "qformer.layernorm")}
-    for i in range(cfg.qformer.layers):
+    for i in range(q_cfg.layers):
         p = f"qformer.encoder.layer.{i}"
         layer: Dict[str, Any] = {
             "self_attn": {
@@ -214,14 +224,15 @@ def convert_hf_state_dict(sd: Mapping[str, Any], cfg: BLIP2ITMConfig) -> Dict[st
                 "out": _lin(sd, f"{p}.attention.output.dense"),
             },
             "self_ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
-            "ffn_text_fc1": _lin(sd, f"{p}.intermediate.dense"),
-            "ffn_text_fc2": _lin(sd, f"{p}.output.dense"),
-            "ffn_text_ln": _ln(sd, f"{p}.output.LayerNorm"),
             "ffn_query_fc1": _lin(sd, f"{p}.intermediate_query.dense"),
             "ffn_query_fc2": _lin(sd, f"{p}.output_query.dense"),
             "ffn_query_ln": _ln(sd, f"{p}.output_query.LayerNorm"),
         }
-        if i % cfg.qformer.cross_attention_freq == 0:
+        if text_branch:
+            layer["ffn_text_fc1"] = _lin(sd, f"{p}.intermediate.dense")
+            layer["ffn_text_fc2"] = _lin(sd, f"{p}.output.dense")
+            layer["ffn_text_ln"] = _ln(sd, f"{p}.output.LayerNorm")
+        if i % q_cfg.cross_attention_freq == 0:
             layer["cross_attn"] = {
                 "query": _lin(sd, f"{p}.crossattention.attention.query"),
                 "key": _lin(sd, f"{p}.crossattention.attention.key"),
@@ -230,6 +241,14 @@ def convert_hf_state_dict(sd: Mapping[str, Any], cfg: BLIP2ITMConfig) -> Dict[st
             }
             layer["cross_ln"] = _ln(sd, f"{p}.crossattention.output.LayerNorm")
         qf[f"layer{i}"] = layer
+    return qf
+
+
+def convert_hf_state_dict(sd: Mapping[str, Any], cfg: BLIP2ITMConfig) -> Dict[str, Any]:
+    """Map a HF Blip2ForImageTextRetrieval state_dict into our param tree."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    vit = convert_vision_tree(sd, cfg.vit)
+    qf = convert_qformer_tree(sd, cfg.qformer, text_branch=True)
 
     params: Dict[str, Any] = {
         "vision": vit,

@@ -44,9 +44,10 @@ def tiny_sam_config() -> SamConfig:
 
 
 def _toy_image_prefix(d_model: int, seed: int = 0, tokens: int = 4):
-    """Stand-in for the BLIP-2 ViT+Q-Former language projection: pooled image
-    patches through a fixed random projection. Deterministic in the image, so
-    the veto path is image-dependent end-to-end."""
+    """Legacy stand-in for unit tests that inject their own T5: pooled image
+    patches through a fixed random projection. Production and the default
+    FullStackPerception use the REAL bridge (models/blip2_vqa.BLIP2VQA:
+    EVA ViT + Q-Former + language projection, vlm/blip2.py:35-55)."""
     key = jax.random.PRNGKey(seed)
     w = jax.random.normal(key, (48, tokens * d_model)) * 0.02
 
@@ -71,6 +72,7 @@ class FullStackPerception:
         detector: Optional[OwlViTDetector] = None,
         sam: Optional[SAM] = None,
         vqa: Optional[T5VQA] = None,
+        blip2_vqa=None,  # models/blip2_vqa.BLIP2VQA: the real visual bridge
         monodepth: Optional[MonocularDepth] = None,
         det_threshold: float = 0.0,
         yes_token_id: int = 42,
@@ -100,7 +102,20 @@ class FullStackPerception:
         )
         veto = None
         if cfg.use_vqa:
-            vqa = vqa or T5VQA.init_random(T5Config.tiny(), seed=0)
+            # The REAL visual bridge: EVA ViT + Q-Former + language projection
+            # feeding the T5 prefix — the blip2_t5 composition the reference
+            # serves (vlm/blip2.py:35-55). ``blip2_vqa`` accepts a
+            # checkpoint-converted model (models/blip2_vqa.load_blip2_vqa);
+            # the default is tiny random weights for air-gapped runs. An
+            # explicit ``vqa=`` (bare T5) keeps the legacy toy-prefix path for
+            # unit tests that need a controllable T5.
+            if vqa is not None:
+                bridge = None
+            else:
+                from vlfm_tpu.models.blip2_vqa import BLIP2VQA, BLIP2VQAConfig
+
+                bridge = blip2_vqa or BLIP2VQA.init_random(BLIP2VQAConfig.tiny(), seed=0)
+                vqa = bridge.t5
 
             def encode_question(text):
                 ids, mask = self.tokenizer.encode_batch([text])
@@ -110,7 +125,11 @@ class FullStackPerception:
                 vqa=vqa,
                 encode_text=encode_question,
                 yes_token_id=yes_token_id,
-                image_prefix=_toy_image_prefix(vqa.cfg.d_model),
+                image_prefix=(
+                    _toy_image_prefix(vqa.cfg.d_model)
+                    if bridge is None
+                    else lambda rgb: bridge.image_prefix(bridge.preprocess(rgb))
+                ),
                 vqa_prompt=cfg.vqa_prompt,
             )
 
