@@ -40,6 +40,7 @@ def test_obs_record_roundtrip():
     np.testing.assert_array_equal(back["target_mask"], np.asarray(o["target_mask"], bool))
     assert back["target_visible"] == o["target_visible"]
     assert abs(back["cosine"] - o["cosine"]) < 1e-7
+    assert abs(back["agent_z"] - o["agent_z"]) < 1e-7
     np.testing.assert_allclose(back["robot_xy"], o["robot_xy"], rtol=0, atol=0)
 
 
@@ -65,6 +66,37 @@ def test_farm_matches_recycled_driver():
         assert abs(a.spl - b.spl) < 1e-6, f"seed {s}: spl diverged"
         assert a.target_detected == b.target_detected, f"seed {s}"
         assert a.target_seen == b.target_seen, f"seed {s}"
+        assert a.failure_cause == b.failure_cause, f"seed {s}: taxonomy diverged"
+
+
+@needs_native
+def test_farm_taxonomy_matches_run_episode_on_stairs():
+    """The full reference taxonomy under the farm: TraveledStairs (agent_z
+    over the ring), map-based was_target_seen (driver-side explored map),
+    nav-goal false-positive test — byte-identical failure_cause to
+    run_episode on the hidden-stairs plan (VERDICT round-2 item #8)."""
+    from vlfm_tpu.runner.episode_driver import run_episode
+    from vlfm_tpu.runner.fake_env import hidden_stairs_plan
+
+    seeds = [0, 1, 2, 3]
+    farm, _ = sim_farm.run_episodes_farm(
+        seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="hidden_stairs_plan", env_cfg=ENV, workers=2,
+        ring_prefix="vlfm_test_farm_stairs",
+    )
+    for s in seeds:
+        single, _ = run_episode(
+            FakeObjectNavEnv(hidden_stairs_plan(seed=s), ENV),
+            "greedy", SPEC, CFG, seed=s,
+        )
+        assert farm[s].failure_cause == single.failure_cause, (
+            f"seed {s}: {farm[s].failure_cause} != {single.failure_cause}"
+        )
+        assert farm[s].success == single.success
+    # the stairs branch must actually fire — agent_z crossed the ring and
+    # the driver-side TraveledStairs accumulated it
+    causes = {farm[s].failure_cause for s in seeds}
+    assert any(c and "traveled_stairs" in c for c in causes), causes
 
 
 @needs_native

@@ -98,6 +98,18 @@ def stairs_plan(seed: int = 0) -> FloorPlan:
     )
 
 
+def hidden_stairs_plan(seed: int = 0) -> FloorPlan:
+    """Two rooms with the stair ramp BEFORE the connecting door and the target
+    hidden in the far room: short-budget episodes cross the stairs without
+    ever seeing the target — the never_saw_target_traveled_stairs taxonomy
+    branch (episode_stats_logger.py:64-71)."""
+    plan = two_room_plan(seed)
+    return FloorPlan(
+        walls=plan.walls, target=plan.target, start=plan.start,
+        start_yaw=plan.start_yaw, stairs=(0.25, 1.75, 1.5),
+    )
+
+
 def open_room_plan(seed: int = 0) -> FloorPlan:
     rng = np.random.default_rng(seed)
     walls = [

@@ -20,12 +20,13 @@ a host pipeline shaped for a TPU driver process:
 Scheduling independence: per-(episode-seed, step) rng keys and per-lane state
 resets make every episode's success/SPL/steps/detections identical to the
 synchronous drivers' (tests/test_sim_farm.py pins farm == recycled ==
-single-episode on those fields). Known limitation: the farm's failure-cause
-taxonomy uses the transported summary fields only — the map-based
-was_target_seen refinement, the nav-goal false-positive test, and
-TraveledStairs (agent_z does not cross the ring) are available in
-run_episode / run_episodes_recycled but not here; prefer those drivers when
-the full reference taxonomy matters.
+single-episode on those fields). The failure-cause taxonomy matches
+run_episode exactly: agent_z crosses the ring (TraveledStairs accumulates
+driver-side), the result record carries the target pose/radius/feasibility so
+the driver computes the map-based was_target_seen from its own device-resident
+explored map and runs the nav-goal false-positive test against the last goal
+it observed at sync time (episode_stats_logger.py:44-111 analogues, identical
+inputs to run_episode / run_episodes_recycled).
 
 Workers never import jax; the records carry f32 depth so device inputs are
 bit-identical to the in-process path.
@@ -48,11 +49,12 @@ from vlfm_tpu.runner.obsring import ObservationRing
 KIND_OBS = 0
 KIND_RESULT = 1
 
-_OBS_HEAD = struct.Struct("<IIIIIfffff")  # lane kind seed step flags heading x y dist cosine
-# NOTE: agent_z does not cross the ring (the farm cannot feed TraveledStairs);
-# extend the header if stairs-taxonomy episodes need to run under the farm.
+# lane kind seed step flags heading x y dist cosine agent_z
+_OBS_HEAD = struct.Struct("<IIIIIffffff")
 _ACT_REC = struct.Struct("<IIIi")  # lane seed step action
-_RES_REC = struct.Struct("<IIIIIIIfff")  # lane kind seed called_stop collisions steps seen dist shortest path_len
+# lane kind seed called_stop collisions steps seen dist shortest path_len
+# target_x target_y target_radius feasible
+_RES_REC = struct.Struct("<IIIIIIIffffffI")
 
 FLAG_DONE = 1
 FLAG_TARGET_VISIBLE = 2
@@ -70,6 +72,7 @@ def pack_obs(lane: int, seed: int, step: int, o: dict) -> bytes:
         lane, KIND_OBS, seed, step, flags,
         float(o["heading"]), float(o["robot_xy"][0]), float(o["robot_xy"][1]),
         float(o["distance_to_goal"]), float(o["cosine"]),
+        float(o.get("agent_z", 0.0)),
     )
     depth = np.ascontiguousarray(o["depth"], np.float32).tobytes()
     mask = np.packbits(np.asarray(o["target_mask"], bool)).tobytes()
@@ -77,9 +80,8 @@ def pack_obs(lane: int, seed: int, step: int, o: dict) -> bytes:
 
 
 def unpack_obs(payload: bytes, height: int, width: int) -> dict:
-    lane, kind, seed, step, flags, heading, x, y, dist, cosine = _OBS_HEAD.unpack_from(
-        payload, 0
-    )
+    (lane, kind, seed, step, flags, heading, x, y, dist, cosine,
+     agent_z) = _OBS_HEAD.unpack_from(payload, 0)
     assert kind == KIND_OBS
     off = _OBS_HEAD.size
     depth = np.frombuffer(payload, np.float32, height * width, off).reshape(height, width)
@@ -96,15 +98,19 @@ def unpack_obs(payload: bytes, height: int, width: int) -> dict:
         "robot_xy": np.array([x, y], np.float32),
         "distance_to_goal": dist,
         "cosine": cosine,
+        "agent_z": agent_z,
         "depth": depth,
         "target_mask": mask.reshape(height, width).astype(bool),
     }
 
 
 def pack_result(lane: int, seed: int, env, seen: bool, dist: float, shortest: float) -> bytes:
+    tx, ty = getattr(env.plan, "target", (0.0, 0.0))
     return _RES_REC.pack(
         lane, KIND_RESULT, seed, int(env.called_stop), int(env.collisions),
         int(env.steps), int(seen), float(dist), float(shortest), float(env.path_length),
+        float(tx), float(ty), float(getattr(env.plan, "target_radius", 0.0)),
+        int(getattr(env, "path_feasible", True)),
     )
 
 
@@ -212,6 +218,12 @@ class _Lane:
     active: bool = True
     last: Optional[dict] = None  # last obs fed to the device (for idle filler)
     hist: dict = field(default_factory=dict)
+    stairs: object = None  # TraveledStairs, reset per episode
+    last_goal: Optional[np.ndarray] = None
+    # taxonomy state stashed at recycle time, keyed by the finished seed —
+    # the result record may be finalized after the lane already started the
+    # next episode
+    closed: dict = field(default_factory=dict)
 
 
 def run_episodes_farm(
@@ -239,6 +251,7 @@ def run_episodes_farm(
     from vlfm_tpu.policy import itm
     from vlfm_tpu.runner import metrics as M
     from vlfm_tpu.runner.episode_driver import _obs_from_env, _step_key
+    from vlfm_tpu.utils.measurements import TraveledStairs
 
     assert lanes % 2 == 0, "lanes must be even (two ping-pong groups)"
     assert lanes <= len(episode_seeds), "need at least one episode per lane"
@@ -325,7 +338,7 @@ def run_episodes_farm(
 
         return jax.tree_util.tree_map(sel, bs, fresh)
 
-    lane_info = [_Lane() for _ in range(lanes)]
+    lane_info = [_Lane(stairs=TraveledStairs()) for _ in range(lanes)]
     results: Dict[int, M.EpisodeResult] = {}
     expected = len(episode_seeds)
     inflight: List[Optional[tuple]] = [None, None]
@@ -337,17 +350,24 @@ def run_episodes_farm(
         for _, payload in obs_ring.poll_batch(max_records=2 * lanes):
             if record_kind(payload) == KIND_RESULT:
                 (lane, _, seed, called_stop, collisions, steps, seen, dist,
-                 shortest, path_len) = _RES_REC.unpack(payload)
+                 shortest, path_len, tx, ty, t_radius,
+                 feasible) = _RES_REC.unpack(payload)
                 pending_results.append(dict(
                     lane=lane, seed=seed, called_stop=bool(called_stop),
                     collisions=collisions, steps=steps, seen=bool(seen),
                     dist=dist, shortest=shortest, path_len=path_len,
+                    target=np.array([tx, ty], np.float32),
+                    target_radius=t_radius, feasible=bool(feasible),
                 ))
             else:
                 o = unpack_obs(payload, h, w)
                 li = lane_info[o["lane"]]
                 if o["seed"] != li.seed:  # recycled: new episode on this lane
+                    # stash the finished episode's taxonomy accumulators — its
+                    # result record may still be waiting in pending_results
+                    li.closed[li.seed] = (li.stairs, li.last_goal)
                     li.seed, li.needs_reset, li.detected = o["seed"], True, False
+                    li.stairs, li.last_goal = TraveledStairs(), None
                 li.step = o["step"]
                 li.pending = o
                 li.active = True  # a late recycled obs revives the lane
@@ -355,10 +375,25 @@ def run_episodes_farm(
     def finalize_ready() -> None:
         # a result is final once the step that produced its last action has
         # been synced (detected flag complete); results always arrive after
-        # that sync, so flush unconditionally
+        # that sync, so flush unconditionally. The device state still holds
+        # the finished episode's maps: a lane reset only happens at the NEXT
+        # dispatch, and finalize runs before dispatch in every loop iteration.
         while pending_results:
             r = pending_results.pop(0)
-            li = lane_info[r["lane"]]
+            lane = r["lane"]
+            li = lane_info[lane]
+            g = 0 if lane < half else 1
+            j = lane - g * half
+            stairs, last_goal = li.closed.pop(r["seed"], (li.stairs, li.last_goal))
+            detected = li.hist.get(r["seed"], False)
+            # reference-form taxonomy inputs, identical to run_episode's
+            # (episode_stats_logger.py:44-111 analogues)
+            seen_map = M.was_target_seen(
+                np.asarray(gstate[g].obstacle.explored[j]), spec, r["target"]
+            )
+            fp = None
+            if detected and last_goal is not None:
+                fp = M.was_false_positive(last_goal, r["target"], r["target_radius"])
             results[r["seed"]] = M.compute_result(
                 called_stop=r["called_stop"],
                 distance_to_goal=r["dist"],
@@ -367,9 +402,12 @@ def run_episodes_farm(
                 path_length=r["path_len"],
                 steps=r["steps"],
                 max_steps=limit,
-                target_detected=li.hist.get(r["seed"], False),
-                target_seen=r["seen"],
+                target_detected=detected,
+                target_seen=r["seen"] or seen_map,
                 collisions=r["collisions"],
+                false_positive=fp,
+                traveled_stairs=stairs.traveled_stairs,
+                feasible=r["feasible"],
             )
 
     def can_dispatch(g: int) -> bool:
@@ -389,6 +427,8 @@ def run_episodes_farm(
         for j, lane in enumerate(idx):
             li = lane_info[lane]
             o = li.pending if li.pending is not None else li.last
+            if li.pending is not None:
+                li.stairs.update(o.get("agent_z", 0.0))
             obs_rows.append(_obs_from_env(o, cfg))
             reset_mask.append(li.needs_reset)
             rngs.append(_step_key(li.seed, li.step) if li.pending is not None
@@ -418,12 +458,15 @@ def run_episodes_farm(
         inflight[g] = None
         actions_np = np.asarray(jax.device_get(actions))
         detected_np = np.asarray(jax.device_get(infos.target_detected))
+        goals_np = np.asarray(jax.device_get(infos.goal))
         for j, (lane, seed, step, live) in enumerate(meta):
             if not live:
                 continue
             li = lane_info[lane]
             li.detected = li.detected or bool(detected_np[j])
             li.hist[seed] = li.detected
+            if seed == li.seed:  # not a stale pre-recycle sync
+                li.last_goal = goals_np[j]
             act_ring.push(_ACT_REC.pack(lane, seed, step, int(actions_np[j])))
             stats.env_steps += 1
 
