@@ -89,14 +89,21 @@ def main() -> None:
         collector = VideoCollector() if args.save_video else None
 
         def render_maps(st, ds=4):
+            from vlfm_tpu.mapping import object_map as OBJ
+
             obst = np.asarray(spec.crop_logical(st.obstacle.obstacles))[::ds, ::ds]
             nav = np.asarray(spec.crop_logical(st.obstacle.navigable))[::ds, ::ds]
             expl = np.asarray(spec.crop_logical(st.obstacle.explored))[::ds, ::ds]
             vals = np.asarray(spec.crop_logical(st.value.values))[::ds, ::ds]
-            return [
-                VIS.render_obstacle_map(obst, nav, expl),
-                VIS.render_value_map(vals.max(axis=-1), spec),
-            ]
+            om = VIS.render_obstacle_map(obst, nav, expl)
+            if bool(np.asarray(OBJ.has_object(st.objmap))):
+                # detected-object cloud painted onto the map
+                # (habitat_visualizer.py:228-253 role)
+                pts, mask = OBJ.get_target_cloud(st.objmap)
+                VIS.paint_target_cloud(
+                    om, spec, np.asarray(pts)[np.asarray(mask), :2], downsample=ds
+                )
+            return [om, VIS.render_value_map(vals.max(axis=-1), spec)]
 
         def on_step(env_, o, info, st, _trail=trail, _last=last):
             _trail.append(np.array([env_.x, env_.y]))

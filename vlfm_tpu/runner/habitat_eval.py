@@ -320,9 +320,21 @@ def make_habitat_env(
     )
 
 
-def render_policy_maps(agent, downsample: int = 2) -> List[np.ndarray]:
-    """Obstacle + value map renderings from the agent's device state."""
-    from vlfm_tpu.utils.visualization import render_obstacle_map, render_value_map
+def render_policy_maps(
+    agent, downsample: int = 2, start_yaw: float = 0.0
+) -> List[np.ndarray]:
+    """Obstacle + value map renderings from the agent's device state, with
+    the detected-target point cloud painted onto the obstacle map
+    (habitat_visualizer.color_point_cloud_on_map role, :228-253) and both
+    maps reoriented by the episode start yaw
+    (_reorient_rescale_habitat_map role, :122-137)."""
+    from vlfm_tpu.mapping import object_map as OBJ
+    from vlfm_tpu.utils.visualization import (
+        paint_target_cloud,
+        render_obstacle_map,
+        render_value_map,
+        rotate_image,
+    )
 
     spec = agent.spec
     st = agent.state
@@ -330,10 +342,15 @@ def render_policy_maps(agent, downsample: int = 2) -> List[np.ndarray]:
     nav = np.asarray(spec.crop_logical(st.obstacle.navigable))[::downsample, ::downsample]
     expl = np.asarray(spec.crop_logical(st.obstacle.explored))[::downsample, ::downsample]
     vals = np.asarray(spec.crop_logical(st.value.values))[::downsample, ::downsample]
-    return [
-        render_obstacle_map(obst, nav, expl),
-        render_value_map(vals.max(axis=-1), spec),
-    ]
+    obst_img = render_obstacle_map(obst, nav, expl)
+    if bool(np.asarray(OBJ.has_object(st.objmap))):
+        pts, mask = OBJ.get_target_cloud(st.objmap)
+        pts_xy = np.asarray(pts)[np.asarray(mask), :2]
+        paint_target_cloud(obst_img, spec, pts_xy, downsample=downsample)
+    maps = [obst_img, render_value_map(vals.max(axis=-1), spec)]
+    if start_yaw != 0.0:
+        maps = [rotate_image(m, start_yaw) for m in maps]
+    return maps
 
 
 def evaluate(
@@ -364,11 +381,14 @@ def evaluate(
 
         obs = env.reset()
         agent.reset()
+        start_yaw = float(np.asarray(obs.get("compass", [0.0])).reshape(-1)[0])
         target_detected = False
         while not env.episode_over:
             action = agent.act(obs)
             target_detected = target_detected or bool(agent.last_info.target_detected)
-            maps = render_policy_maps(agent) if collector else None
+            maps = (
+                render_policy_maps(agent, start_yaw=start_yaw) if collector else None
+            )
             obs = env.step(action)
             if collector:
                 # reference ordering: obs(t+1) collected with policy maps(t)

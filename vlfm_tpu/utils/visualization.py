@@ -97,6 +97,38 @@ class TrajectoryVisualizer:
         return img
 
 
+def rotate_image(img: np.ndarray, yaw_rad: float, border_value=(255, 255, 255)) -> np.ndarray:
+    """Rotate about the image center, padding with ``border_value`` — the
+    img_utils.rotate_image role used for start-yaw map reorientation
+    (habitat_visualizer.py:122-137)."""
+    h, w = img.shape[:2]
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), float(np.rad2deg(yaw_rad)), 1.0)
+    return cv2.warpAffine(img, m, (w, h), borderValue=border_value)
+
+
+def paint_target_cloud(
+    img: np.ndarray,
+    spec: GridSpec2D,
+    points_xy: np.ndarray,  # (N, 2) episodic meters
+    downsample: int = 1,
+    color=(255, 0, 255),
+) -> np.ndarray:
+    """Paint the detected-object point cloud's footprint onto a rendered map —
+    the color_point_cloud_on_map role (habitat_visualizer.py:228-253; the
+    reference paints MAP_TARGET_POINT_INDICATOR pixels onto the habitat
+    top-down map)."""
+    pts = np.asarray(points_xy, np.float64).reshape(-1, 2)
+    if len(pts) == 0:
+        return img
+    rows = np.rint(pts[:, 0] * spec.pixels_per_meter).astype(int) + spec.origin
+    cols = spec.origin - np.rint(pts[:, 1] * spec.pixels_per_meter).astype(int)
+    rows //= downsample
+    cols //= downsample
+    keep = (rows >= 0) & (rows < img.shape[0]) & (cols >= 0) & (cols < img.shape[1])
+    img[rows[keep], cols[keep]] = color
+    return img
+
+
 # --- map renderers ------------------------------------------------------------
 def render_value_map(
     values: np.ndarray,  # (H, W) reduced value channel
