@@ -184,7 +184,18 @@ def step(
     # --- frontier scoring (V1: cached first-sight cosine; V2/V3: value-map
     # median within 0.5 m) ---------------------------------------------------
     frontier_cache = state.frontier_cache
-    if version == "v1":
+    if version == "fbe":
+        # OracleFBEPolicy role (habitat_policies.py:240-245): classic
+        # frontier-based exploration — the NEAREST frontier wins and ITM
+        # value scoring is bypassed (the reference delegates explore-mode
+        # actions to the frontier_exploration explorer sensor; the value map
+        # still updates here for visualization parity).
+        fvalues = jnp.where(
+            obstacle.frontiers_valid,
+            -jnp.linalg.norm(obstacle.frontiers_xy - obs.robot_xy, axis=1),
+            -jnp.inf,
+        )
+    elif version == "v1":
         frontier_cache = FM.update(
             frontier_cache, obstacle.frontiers_xy, obstacle.frontiers_valid, cosines[0]
         )

@@ -23,7 +23,10 @@ def main() -> None:
     p.add_argument("--backend", choices=["synthetic", "habitat", "reality"], default="synthetic")
     p.add_argument("--episodes", type=int, default=10)
     p.add_argument("--max-steps", type=int, default=500)
-    p.add_argument("--version", choices=["v1", "v2", "v3"], default="v2")
+    p.add_argument(
+        "--version", choices=["v1", "v2", "v3", "fbe"], default="v2",
+        help="policy variant; 'fbe' is the OracleFBE nearest-frontier baseline",
+    )
     p.add_argument("--controller", choices=["neural", "greedy"], default="greedy")
     p.add_argument(
         "--farm", type=int, default=0, metavar="LANES",

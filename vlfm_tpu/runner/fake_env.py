@@ -320,10 +320,11 @@ class FakeObjectNavEnv:
         }
 
     # --- oracle shortest path (for SPL) ------------------------------------
-    def shortest_path_length(self, resolution: float = 0.1) -> float:
-        """BFS geodesic distance start->target on a rasterized floor plan."""
-        import collections
-
+    def _raster_grid(self, resolution: float = 0.1):
+        """Rasterize the floor plan: (blocked, x0, y0, nx, ny). Cached."""
+        key = ("grid", resolution)
+        if getattr(self, "_grid_cache", None) and key in self._grid_cache:
+            return self._grid_cache[key]
         xs = [w[i] for w in self.plan.walls for i in (0, 2)] + [
             self.plan.start[0],
             self.plan.target[0],
@@ -345,19 +346,23 @@ class FakeObjectNavEnv:
                 py = ay + (by - ay) * i / n
                 ix, iy = int((px - x0) / resolution), int((py - y0) / resolution)
                 blocked[max(0, ix - 1) : ix + 2, max(0, iy - 1) : iy + 2] = True
+        if not hasattr(self, "_grid_cache"):
+            self._grid_cache = {}
+        self._grid_cache[key] = (blocked, x0, y0, nx, ny)
+        return self._grid_cache[key]
 
-        def cell(p):
-            return (int((p[0] - x0) / resolution), int((p[1] - y0) / resolution))
+    def _dist_field_from(self, source_xy, resolution: float = 0.1) -> np.ndarray:
+        """Full BFS geodesic distance field from ``source_xy`` (meters)."""
+        import collections
 
-        s, g = cell(self.plan.start), cell(self.plan.target)
+        blocked, x0, y0, nx, ny = self._raster_grid(resolution)
+        s = (int((source_xy[0] - x0) / resolution), int((source_xy[1] - y0) / resolution))
         dist = np.full((nx, ny), np.inf)
         dist[s] = 0.0
         q = collections.deque([s])
         diag = resolution * math.sqrt(2)
         while q:
             cx, cy = q.popleft()
-            if (cx, cy) == g:
-                break
             for ddx in (-1, 0, 1):
                 for ddy in (-1, 0, 1):
                     if ddx == 0 and ddy == 0:
@@ -368,9 +373,60 @@ class FakeObjectNavEnv:
                         if nd < dist[mx, my]:
                             dist[mx, my] = nd
                             q.append((mx, my))
-        d = dist[g]
+        return dist
+
+    def shortest_path_length(self, resolution: float = 0.1) -> float:
+        """BFS geodesic distance start->target on a rasterized floor plan."""
+        _, x0, y0, _, _ = self._raster_grid(resolution)
+        field = self._target_field(resolution)
+        s = (int((self.plan.start[0] - x0) / resolution),
+             int((self.plan.start[1] - y0) / resolution))
+        d = field[s]
         self.path_feasible = bool(np.isfinite(d))
         return float(d) if np.isfinite(d) else float(math.hypot(
             self.plan.target[0] - self.plan.start[0],
             self.plan.target[1] - self.plan.start[1],
         ))
+
+    def _target_field(self, resolution: float = 0.1) -> np.ndarray:
+        key = ("target_field", resolution)
+        if getattr(self, "_grid_cache", None) and key in self._grid_cache:
+            return self._grid_cache[key]
+        field = self._dist_field_from(self.plan.target, resolution)
+        self._grid_cache[key] = field
+        return field
+
+    def oracle_action(self, resolution: float = 0.1) -> int:
+        """Shortest-path-follower action toward the target — the role of the
+        frontier_exploration BaseExplorer sensor consumed by the reference's
+        Oracle/SuperOracle FBE baselines (habitat_policies.py:240-261):
+        descend the BFS geodesic field, turn toward the best neighbor, STOP
+        inside the success radius."""
+        tx, ty = self.plan.target
+        if math.hypot(self.x - tx, self.y - ty) <= self.cfg.success_radius:
+            return STOP
+        blocked, x0, y0, nx, ny = self._raster_grid(resolution)
+        field = self._target_field(resolution)
+        ix = int((self.x - x0) / resolution)
+        iy = int((self.y - y0) / resolution)
+        best, best_d = None, np.inf
+        # look one body-length ahead so the bearing is stable between cells
+        r = max(int(round(self.cfg.forward_step / resolution)), 1)
+        for ddx in (-r, 0, r):
+            for ddy in (-r, 0, r):
+                if ddx == 0 and ddy == 0:
+                    continue
+                mx, my = ix + ddx, iy + ddy
+                if 0 <= mx < nx and 0 <= my < ny and np.isfinite(field[mx, my]):
+                    if field[mx, my] < best_d:
+                        best_d, best = field[mx, my], (ddx, ddy)
+        if best is None:
+            return STOP  # isolated cell: nothing reachable
+        bearing = math.atan2(best[1], best[0])
+        dyaw = (bearing - self.yaw + math.pi) % (2 * math.pi) - math.pi
+        half_turn = math.radians(self.cfg.turn_deg) / 2
+        if dyaw > half_turn:
+            return TURN_LEFT
+        if dyaw < -half_turn:
+            return TURN_RIGHT
+        return MOVE_FORWARD
