@@ -32,3 +32,33 @@ def test_pipeline_end_to_end_shapes():
     assert len(pipe._query_cache) == 1
     pipe(rgb, "fireplace")
     assert len(pipe._query_cache) == 2
+
+
+def test_pipeline_sam_gating_preserves_outputs():
+    """With sam_frame_capacity covering every detection frame, pipeline
+    outputs are unchanged (VERDICT round-2 item #4 parity criterion)."""
+    det = OwlViTDetector.init_random(OwlViTDetConfig.tiny(), seed=0)
+    sam = SAM.init_random(sam_tiny_cfg(), seed=0)
+    rgb = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (4, 48, 64, 3), np.uint8)
+    )
+    plain = DetectionPipeline(det, sam, fake_encode, max_detections=4,
+                              non_coco_threshold=0.0)
+    gated = DetectionPipeline(det, sam, fake_encode, max_detections=4,
+                              non_coco_threshold=0.0, sam_frame_capacity=4)
+    m0, v0, _ = plain(rgb, "toilet")
+    m1, v1, _ = gated(rgb, "toilet")
+    # capacity == batch keeps every detection frame: identical outputs
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    assert np.asarray(v0).any(), "threshold 0 should yield detections"
+    # a 1-frame capacity clears valid flags beyond the kept frame but keeps
+    # the first detection frame's masks intact
+    tight = DetectionPipeline(det, sam, fake_encode, max_detections=4,
+                              non_coco_threshold=0.0, sam_frame_capacity=1)
+    m2, v2, _ = tight(rgb, "toilet")
+    has = np.asarray(v0).any(axis=1)
+    first = int(np.argmax(has))
+    np.testing.assert_array_equal(np.asarray(v2[first]), np.asarray(v0[first]))
+    np.testing.assert_array_equal(np.asarray(m2[first]), np.asarray(m0[first]))
+    assert not np.asarray(v2)[np.arange(4) != first].any()

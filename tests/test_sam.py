@@ -104,3 +104,40 @@ def test_segment_boxes_shapes():
     masks, iou = ours.segment_boxes(imgs, boxes01)
     assert masks.shape == (1, 1, 32, 32)
     assert masks.dtype == bool
+
+
+def test_segment_boxes_gated_matches_ungated_within_capacity():
+    """SAM frame-gating (VERDICT round-2 item #4): frames with detections are
+    compacted to a capacity sub-batch; outputs match the ungated path for
+    kept frames, and frames beyond capacity are dropped with valid cleared."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlfm_tpu.models.sam import SAM, SamConfig
+
+    sam = SAM.init_random(SamConfig.tiny(), seed=0)
+    s = sam.cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    b, nb = 6, 2
+    imgs = jnp.asarray(rng.random((b, s, s, 3), np.float32) * 255.0)
+    boxes = jnp.asarray(rng.random((b, nb, 4), np.float32) * 0.5 + 0.25)
+    valid = jnp.asarray(
+        np.array([[1, 0], [0, 0], [1, 1], [0, 0], [0, 1], [0, 0]], bool)
+    )  # frames 0, 2, 4 have detections
+
+    full, _ = sam.segment_boxes(imgs, boxes, fused=False)
+    gated, kept = sam.segment_boxes_gated(imgs, boxes, valid, capacity=3, fused=False)
+    # all three detection frames fit the capacity: identical masks there
+    for i in (0, 2, 4):
+        np.testing.assert_array_equal(np.asarray(gated[i]), np.asarray(full[i]))
+    np.testing.assert_array_equal(np.asarray(kept), np.asarray(valid))
+    # no-detection frames come back all-false
+    assert not np.asarray(gated[1]).any() and not np.asarray(gated[3]).any()
+
+    # capacity 2 drops one detection frame (the last in stable order)
+    gated2, kept2 = sam.segment_boxes_gated(imgs, boxes, valid, capacity=2, fused=False)
+    np.testing.assert_array_equal(np.asarray(kept2[0]), np.asarray(valid[0]))
+    np.testing.assert_array_equal(np.asarray(kept2[2]), np.asarray(valid[2]))
+    assert not np.asarray(kept2[4]).any(), "frame beyond capacity must drop"
+    np.testing.assert_array_equal(np.asarray(gated2[0]), np.asarray(full[0]))

@@ -81,6 +81,11 @@ class VLFMConfig:
     max_frontiers: int = 32
     max_frontier_cells: int = 512
     max_detections_per_frame: int = 8
+    # Frames-per-batch cap for SAM segmentation (None = every frame): the
+    # batched analogue of the reference running SAM only on frames with
+    # detections (base_objectnav_policy.py:311-321); see
+    # DetectionPipeline.sam_frame_capacity.
+    sam_frame_capacity: Optional[int] = None
     object_map_slots: int = 64
     object_map_points_per_slot: int = 512
     # Full 360-degree spin: the reference's `_num_steps < 11` check is set one

@@ -560,6 +560,39 @@ class SAM:
             sel = masks[:, :, 0]
         return sel > 0.0, iou
 
+    def segment_boxes_gated(
+        self,
+        images,
+        boxes01,
+        frame_valid,
+        capacity: int,
+        multimask_output: bool = False,
+        fused: bool = None,
+    ):
+        """segment_boxes on a compacted sub-batch: frames with >=1 valid
+        detection are gathered (static shape) into a ``capacity``-frame batch
+        before encode+decode, and the masks scattered back. SAM cost then
+        scales with the configured detection capacity instead of the episode
+        batch — the batched analogue of the reference paying SAM only on
+        frames with detections (base_objectnav_policy.py:311-321). Frames
+        with detections beyond the capacity are DROPPED (their valid flags
+        cleared), a documented cap like max_detections.
+
+        ``frame_valid``: (B, NB) bool. Returns (masks (B, NB, 4G, 4G) bool,
+        kept_valid (B, NB)).
+        """
+        b, nb = frame_valid.shape
+        has = frame_valid.any(axis=1)  # (B,)
+        order = jnp.argsort(~has, stable=True)  # detection frames first
+        sel = order[:capacity]
+        masks_sub, _ = self.segment_boxes(
+            images[sel], boxes01[sel], multimask_output, fused
+        )
+        g = masks_sub.shape[-1]
+        masks = jnp.zeros((b, nb, g, g), bool).at[sel].set(masks_sub)
+        kept = jnp.zeros((b,), bool).at[sel].set(has[sel])
+        return masks, frame_valid & kept[:, None]
+
 
 # ---------------------------------------------------------------------------
 # HF checkpoint conversion (facebook/sam-vit-* layout)

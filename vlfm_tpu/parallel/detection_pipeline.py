@@ -107,6 +107,12 @@ class DetectionPipeline:
     coco_threshold: float = 0.8
     non_coco_threshold: float = 0.4
     max_detections: int = 8
+    # Frames-per-batch cap for SAM (None = segment every frame). With a cap,
+    # frames holding >=1 valid detection are compacted into a capacity-sized
+    # sub-batch before encode+decode (SAM.segment_boxes_gated), so SAM cost
+    # tracks detection density — the reference runs SAM per-detection only
+    # (base_objectnav_policy.py:311-321).
+    sam_frame_capacity: Optional[int] = None
 
     def __post_init__(self):
         self._query_cache: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -171,7 +177,11 @@ class DetectionPipeline:
             rgb.astype(jnp.float32),
             self.sam.cfg.vision.image_size, self.sam.cfg.vision.image_size,
         )
-        masks_lr, _ = self.sam.segment_boxes(sam_imgs, xyxy)  # (B, K, 4G, 4G)
+        cap = self.sam_frame_capacity
+        if cap is not None and cap < b:
+            masks_lr, valid = self.sam.segment_boxes_gated(sam_imgs, xyxy, valid, cap)
+        else:
+            masks_lr, _ = self.sam.segment_boxes(sam_imgs, xyxy)  # (B, K, 4G, 4G)
         masks = resize_bilinear_hw(masks_lr.astype(jnp.float32), h, w) > 0.5
         masks = masks & valid[:, :, None, None]
 

@@ -141,6 +141,7 @@ class FullStackPerception:
             coco_threshold=cfg.coco_threshold,
             non_coco_threshold=det_threshold,
             max_detections=cfg.max_detections_per_frame,
+            sam_frame_capacity=cfg.sam_frame_capacity,
         )
 
     def __call__(self, rgb: np.ndarray, target: str, depth: Optional[np.ndarray] = None):
