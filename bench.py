@@ -231,35 +231,30 @@ def bench_mapping_pipeline(batch: int = 16, horizon: int = 12) -> float:
 # --------------------------------------------------------------------------
 # FULL STACK: production-size perception in the step cadence
 # --------------------------------------------------------------------------
-def make_system(batch: int = 32):
-    """Build the full-stack system step (models + policy + jitted step fn)
-    without running it. Shared by bench_full_stack and scripts/op_profile.py's
-    'system' target."""
+def fast_params(init_fn, *args):
+    """Shape-only init -> constant-filled bf16 params on device. Weight
+    CONTENT never changes the compiled program or its FLOPs, and running
+    the real initializer programs for 1.3B params over the tunneled chip
+    costs ~10 minutes; this costs milliseconds."""
     import jax
     import jax.numpy as jnp
 
-    from vlfm_tpu.config import VLFMConfig
-    from vlfm_tpu.mapping.grid import GridSpec2D
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0), *args)["params"]
+    return jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes
+    )
+
+
+def production_models():
+    """The three production-size perception models with device-resident
+    constant bf16 params (identical FLOPs/layout to converted checkpoints):
+    BLIP2-ITM EVA ViT-g (1.17B), OWL-ViT base-32, MobileSAM (TinyViT@1024).
+    Returns (itm_model, detector, sam, init_seconds)."""
+    import jax.numpy as jnp
+
     from vlfm_tpu.models.blip2_itm import BLIP2ITM, BLIP2ITMConfig
-    from vlfm_tpu.models.owl_vit import OwlViTDetConfig, OwlViTDetector, top_detections
+    from vlfm_tpu.models.owl_vit import OwlViTDetConfig, OwlViTDetector
     from vlfm_tpu.models.sam import SAM, SamConfig
-    from vlfm_tpu.policy import itm
-    from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
-
-    cfg = VLFMConfig()
-    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=160)
-    cam = cfg.camera
-    k = cfg.max_detections_per_frame
-
-    def fast_params(init_fn, *args):
-        """Shape-only init -> constant-filled bf16 params on device. Weight
-        CONTENT never changes the compiled program or its FLOPs, and running
-        the real initializer programs for 1.3B params over the tunneled chip
-        costs ~10 minutes; this costs milliseconds."""
-        shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0), *args)["params"]
-        return jax.tree_util.tree_map(
-            lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes
-        )
 
     t0 = time.time()
     icfg = BLIP2ITMConfig()  # EVA ViT-g, 1.17B
@@ -282,7 +277,29 @@ def make_system(batch: int = 32):
     sam.params = fast_params(
         sam.module.init, jnp.zeros((1, s, s, 3)), jnp.zeros((1, 1, 4))
     )
-    model_init_s = round(time.time() - t0, 1)
+    return itm_model, detector, sam, round(time.time() - t0, 1)
+
+
+def make_system(batch: int = 32):
+    """Build the full-stack system step (models + policy + jitted step fn)
+    without running it. Shared by bench_full_stack and scripts/op_profile.py's
+    'system' target."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlfm_tpu.config import VLFMConfig
+    from vlfm_tpu.mapping.grid import GridSpec2D
+    from vlfm_tpu.models.owl_vit import top_detections
+    from vlfm_tpu.models.sam import SAM
+    from vlfm_tpu.policy import itm
+    from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
+
+    cfg = VLFMConfig()
+    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=160)
+    cam = cfg.camera
+    k = cfg.max_detections_per_frame
+
+    itm_model, detector, sam, model_init_s = production_models()
 
     pointnav, bstate = _policy_setup(cfg, spec, batch)
 
@@ -381,7 +398,7 @@ def make_system(batch: int = 32):
     )
 
 
-def bench_full_stack(batch: int = 32, iters: int = 2, chunk: int = 8):
+def bench_full_stack(batch: int = 32, iters: int = 5, chunk: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -431,22 +448,104 @@ def bench_full_stack(batch: int = 32, iters: int = 2, chunk: int = 8):
         resize_bilinear(rgb.astype(jnp.float32), sam_size, sam_size), seg_boxes)[0]
     timings["sam_ms_per_batch"] = steady_ms(seg)
 
-    # measure steady-state system throughput (chunked dispatch)
-    t0 = time.time()
+    # measure steady-state system throughput (chunked dispatch); per-chunk
+    # wall times give the run-to-run spread on this shared tunnel host (the
+    # 1.8 ms readback per chunk is negligible against multi-second chunks)
+    chunk_s = []
     bs = bstate
     for i in range(iters):
+        t0 = time.time()
         bs, acts = system_chunk(
             *params3, bs, rgb_chunk, jnp.int32(i * chunk), jax.random.PRNGKey(10 + i),
             chunk=chunk,
         )
-    _sync(acts)
-    dt = time.time() - t0
-    return batch * iters * chunk / dt, timings
+        _sync(acts)
+        chunk_s.append(time.time() - t0)
+    timings["steps_per_s_min"] = round(batch * chunk / max(chunk_s), 1)
+    timings["steps_per_s_max"] = round(batch * chunk / min(chunk_s), 1)
+    return batch * iters * chunk / sum(chunk_s), timings
+
+
+# --------------------------------------------------------------------------
+# TRUE end-to-end: live envs + real models + host->device streaming
+# --------------------------------------------------------------------------
+def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int = 2):
+    """The complete serving system measured as ONE loop: worker processes run
+    live synthetic 480x640 RGBD environments, frames cross a shared-memory
+    ring, the driver streams each group's observations host->device and runs
+    the REAL production-size model stack (BLIP2-ITM ViT-g + OWL-ViT +
+    MobileSAM, constant bf16 params) plus the mapping/policy step, and
+    actions flow back to the workers — every step crosses the host boundary
+    inside the timed region (the reference's per-step traffic,
+    itm_policy.py:191-211 + base_objectnav_policy.py:311-321 driven by
+    vlfm_trainer.py:164-325).
+
+    Reported alongside the device-resident headline: that number is the
+    device-compute ceiling; this one is serving reality over THIS tunnel
+    (host link measured at ~35-50 MB/s — a dev-tunnel artifact; production
+    TPU hosts attach at PCIe >= 16 GB/s).
+
+    Returns (steps_per_sec or None, extras).
+    """
+    import numpy as np
+
+    from vlfm_tpu.config import VLFMConfig
+    from vlfm_tpu.mapping.grid import GridSpec2D
+    from vlfm_tpu.runner import fake_env as FE
+    from vlfm_tpu.runner import sim_farm
+    from vlfm_tpu.runner.full_stack import FullStackPerception
+    from vlfm_tpu.runner.obsring import ObservationRing
+
+    if not ObservationRing.available():
+        return None, {"streamed_skipped": "native obsring unavailable"}
+
+    cfg = VLFMConfig(sam_frame_capacity=max(2, lanes // 4))
+    spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=160)
+    itm_model, detector, sam, _ = production_models()
+    perception = FullStackPerception(cfg, itm=itm_model, detector=detector, sam=sam)
+    pointnav, _ = _policy_setup(cfg, spec, lanes // 2)
+
+    env_cfg = FE.EnvConfig(max_steps=max_steps)
+    half = lanes // 2
+
+    # compile outside the timed farm: one batched perception call at the
+    # group shape warms every model program (the farm's policy step compiles
+    # on its first dispatch; a 2-step warmup farm absorbs that too)
+    t0 = time.time()
+    rgb_w = np.random.default_rng(0).integers(
+        0, 255, (half, env_cfg.height, env_cfg.width, 3), np.uint8
+    )
+    _sync(perception.batch(rgb_w, "toilet")[2])
+    sim_farm.run_episodes_farm(
+        list(range(lanes)), lanes=lanes, pointnav=pointnav, spec=spec, cfg=cfg,
+        plan_name="two_room_plan", env_cfg=env_cfg, workers=workers,
+        max_steps=2, ring_prefix="vlfm_bench_warm", perception=perception,
+    )
+    warm_s = round(time.time() - t0, 1)
+
+    results, stats = sim_farm.run_episodes_farm(
+        [100 + s for s in range(lanes)], lanes=lanes, pointnav=pointnav,
+        spec=spec, cfg=cfg, plan_name="two_room_plan", env_cfg=env_cfg,
+        workers=workers, ring_prefix="vlfm_bench_farm", perception=perception,
+    )
+    obs_bytes = sim_farm.obs_slot_bytes(env_cfg.height, env_cfg.width, rgb=True)
+    extras = {
+        "streamed_env_steps": stats.env_steps,
+        "streamed_warmup_s": warm_s,
+        "streamed_obs_mb_per_step": round(obs_bytes / 1e6, 2),
+        "streamed_obs_mb_per_s": round(stats.env_steps * obs_bytes / 1e6 / stats.wall_time, 1),
+        "streamed_overlapped_frac": round(stats.overlapped / max(stats.dispatches, 1), 2),
+        "streamed_success_rate": round(
+            sum(r.success for r in results.values()) / max(len(results), 1), 3
+        ),
+    }
+    return stats.steps_per_sec, extras
 
 
 def main() -> None:
     _enable_compile_cache()
     full, timings = bench_full_stack()
+    streamed, s_extras = bench_full_stack_streamed()
     mapping = bench_mapping_pipeline()
     cpu_baseline = bench_reference_cpu()
     print(
@@ -456,13 +555,23 @@ def main() -> None:
                     "FULL-STACK system env-steps/s/chip: BLIP2-ITM ViT-g bf16 + "
                     "OWL-ViT-base/32 + MobileSAM(TinyViT@1024) + mapping + PointNav "
                     "per step, batched episodes, production sizes, one chip, "
-                    "chunked dispatch (weights device-resident, obs streamed); "
-                    "vs_baseline anchors on an OPTIMISTIC 3 steps/s trace-estimate "
-                    "of the reference's single-GPU HTTP server stack"
+                    "chunked dispatch, DEVICE-RESIDENT observations (the "
+                    "device-compute ceiling); streamed_steps_per_s is the same "
+                    "stack as ONE live system — worker-process envs, 480x640 "
+                    "RGBD streamed host->device every step, actions back — over "
+                    "a dev tunnel measured at ~35-50 MB/s (production hosts "
+                    "attach at PCIe >=16 GB/s); vs_baseline anchors on an "
+                    "OPTIMISTIC 3 steps/s trace-estimate of the reference's "
+                    "single-GPU HTTP server stack"
                 ),
                 "value": round(full, 3),
                 "unit": "env-steps/sec/chip",
                 "vs_baseline": round(full / REFERENCE_STEPS_PER_S, 3),
+                "streamed_steps_per_s": round(streamed, 3) if streamed else None,
+                "streamed_vs_baseline": (
+                    round(streamed / REFERENCE_STEPS_PER_S, 3) if streamed else None
+                ),
+                **s_extras,
                 "mapping_pipeline_steps_per_s": round(mapping, 3),
                 "mapping_vs_cpu_reference": round(mapping / cpu_baseline, 3),
                 **timings,

@@ -152,6 +152,16 @@ class FakeObjectNavEnv:
             math.radians(self.cfg.hfov_deg) / 2,
             self.cfg.width,
         )
+        # static per-env render tables (the pixel stage runs in f32: at
+        # meter-scale depths the f32 rel-error ~1e-7 is far below the
+        # 1/255-normalized quantization every consumer applies)
+        fy = self.cfg.width / (2 * math.tan(math.radians(self.cfg.hfov_deg) / 2))
+        v = np.arange(self.cfg.height, dtype=np.float32)
+        self._slope32 = (v - self.cfg.height // 2) / np.float32(fy)  # >0 looks down
+        self._cos_phi32 = np.cos(self._phi).astype(np.float32)
+        self._heights32 = np.asarray(
+            [plan.height_of(i) for i in range(len(plan.walls))], np.float32
+        )
         self.reset()
 
     # --- simulation ---------------------------------------------------------
@@ -248,24 +258,26 @@ class FakeObjectNavEnv:
         c = self.cfg
         plan = self.plan
         bearings = self.yaw - self._phi
-        fy = c.width / (2 * math.tan(math.radians(c.hfov_deg) / 2))
-        cam_h = c.camera_height
+        cam_h = np.float32(c.camera_height)
 
         t_walls = self._ray_walls(self.x, self.y, bearings)  # (Nw, W) planar
         t_target = self._ray_target(self.x, self.y, bearings)  # (W,)
-        cos_phi = np.cos(self._phi)
+        cos_phi = self._cos_phi32
+        slope = self._slope32  # (H,)
 
-        v = np.arange(c.height, dtype=np.float64)
-        slope = (v - c.height // 2) / fy  # >0 looks down
-
-        zbest = np.full((c.height, c.width), np.inf)
-        # walls: candidate z-depth = planar t * cos(phi); a pixel ray hits the
-        # wall iff its height there lies within [0, wall_height]
-        for i in range(len(plan.walls)):
-            zf = np.where(np.isfinite(t_walls[i]), t_walls[i] * cos_phi, 1e9)  # (W,)
-            h_at = cam_h - slope[:, None] * zf[None, :]  # (H, W)
-            ok = (zf < 1e8)[None, :] & (h_at >= 0.0) & (h_at <= plan.height_of(i))
-            zbest = np.minimum(zbest, np.where(ok, zf[None, :], np.inf))
+        # walls, vectorized over (Nw, H, W): candidate z-depth = planar t *
+        # cos(phi); a pixel ray hits the wall iff its height there lies within
+        # [0, wall_height]
+        zf = np.where(
+            np.isfinite(t_walls), t_walls * cos_phi[None, :], 1e9
+        ).astype(np.float32)  # (Nw, W)
+        h_at = cam_h - slope[None, :, None] * zf[:, None, :]  # (Nw, H, W)
+        ok = (
+            (zf[:, None, :] < 1e8)
+            & (h_at >= 0.0)
+            & (h_at <= self._heights32[:, None, None])
+        )
+        zbest = np.where(ok, zf[:, None, :], np.inf).min(axis=0)  # (H, W)
         # floor (z=0) and ceiling
         with np.errstate(divide="ignore"):
             z_floor = np.where(slope > 1e-6, cam_h / np.maximum(slope, 1e-6), np.inf)
@@ -274,10 +286,10 @@ class FakeObjectNavEnv:
                 (plan.ceiling_height - cam_h) / np.maximum(-slope, 1e-6),
                 np.inf,
             )
-        zbest = np.minimum(zbest, z_floor[:, None])
-        zbest = np.minimum(zbest, z_ceil[:, None])
+        zbest = np.minimum(zbest, z_floor.astype(np.float32)[:, None])
+        zbest = np.minimum(zbest, z_ceil.astype(np.float32)[:, None])
         # target cylinder (target_height m tall)
-        zt = np.where(np.isfinite(t_target), t_target * cos_phi, 1e9)
+        zt = np.where(np.isfinite(t_target), t_target * cos_phi, 1e9).astype(np.float32)
         h_at = cam_h - slope[:, None] * zt[None, :]
         t_ok = (zt < 1e8)[None, :] & (h_at >= 0.0) & (h_at <= plan.target_height)
         zt_full = np.where(t_ok, zt[None, :], np.inf)

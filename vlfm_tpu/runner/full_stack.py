@@ -144,6 +144,18 @@ class FullStackPerception:
             sam_frame_capacity=cfg.sam_frame_capacity,
         )
 
+    def batch(self, rgb_b, target: str):
+        """Batched serving entry: (B, H, W, 3) uint8 -> (cosines (B, C),
+        masks (B, K, H, W) bool, valid (B, K) bool) — ONE jitted call per
+        model family for a whole episode batch. ``rgb_b`` may be host numpy;
+        the host->device transfer happens here (the streamed-serving seam the
+        farm and the streamed bench measure). C is truncated to
+        cfg.value_channels, matching the per-episode path."""
+        rgb_b = jnp.asarray(rgb_b)
+        cos = self.engine.score(rgb_b, target)[:, : self.cfg.value_channels]
+        masks, valid, _ = self.pipeline(rgb_b, target)
+        return cos, masks, valid
+
     def __call__(self, rgb: np.ndarray, target: str, depth: Optional[np.ndarray] = None):
         rgb_b = jnp.asarray(rgb)[None]
         cos = self.engine.score(rgb_b, target)[0]
@@ -166,24 +178,33 @@ class FullStackPerception:
 
 
 def run_full_stack_episode(env, spec: GridSpec2D, cfg: VLFMConfig, pointnav="greedy",
-                           perception: Optional[FullStackPerception] = None, seed: int = 0):
-    """run_episode with model-based perception instead of the env oracle."""
+                           perception: Optional[FullStackPerception] = None, seed: int = 0,
+                           target: str = "toilet"):
+    """run_episode with model-based perception instead of the env oracle.
+
+    Rng follows the driver-family convention _step_key(seed, step) so results
+    are scheduling-independent and comparable with the recycled/farm drivers
+    (tests/test_farm_full_stack.py pins farm full-stack == this)."""
     from vlfm_tpu.policy import itm as policy
     from vlfm_tpu.runner import metrics as M
-    from vlfm_tpu.runner.episode_driver import DriverStats, _obs_from_env
+    from vlfm_tpu.runner.episode_driver import DriverStats, _obs_from_env, _step_key
     import time
+
+    from vlfm_tpu.utils.measurements import TraveledStairs
 
     perception = perception or FullStackPerception(cfg)
     o = env.reset()
     state = policy.create_state(spec, cfg)
-    rng = jax.random.PRNGKey(seed)
     stats = DriverStats()
     shortest = env.shortest_path_length()
     target_seen = target_detected = False
+    stairs = TraveledStairs()
+    last_goal = None
     t0 = time.time()
     while not o["done"]:
-        cos, masks, valid, obj_depth = perception(o["rgb"], "toilet", o["depth"])
-        rng, sub = jax.random.split(rng)
+        cos, masks, valid, obj_depth = perception(o["rgb"], target, o["depth"])
+        sub = _step_key(seed, stats.env_steps)
+        stairs.update(o.get("agent_z", 0.0))
         action, info, state = policy.step(
             state, _obs_from_env(o, cfg),
             jnp.asarray(cos[: cfg.value_channels]),
@@ -193,14 +214,28 @@ def run_full_stack_episode(env, spec: GridSpec2D, cfg: VLFMConfig, pointnav="gre
         )
         target_seen = target_seen or o["target_visible"]
         target_detected = target_detected or bool(info.target_detected)
+        last_goal = np.asarray(info.goal)
         o = env.step(int(action))
         stats.env_steps += 1
     stats.wall_time = time.time() - t0
+
+    # reference-form taxonomy inputs, identical to run_episode's
+    # (episode_stats_logger.py:44-111 analogues)
+    tgt = getattr(env.plan, "target", None) if hasattr(env, "plan") else None
+    seen_map = (
+        M.was_target_seen(state.obstacle.explored, spec, tgt)
+        if tgt is not None else False
+    )
+    fp = None
+    if tgt is not None and target_detected and last_goal is not None:
+        fp = M.was_false_positive(last_goal, tgt, env.plan.target_radius)
     result = M.compute_result(
         called_stop=env.called_stop, distance_to_goal=o["distance_to_goal"],
         success_radius=env.cfg.success_radius, shortest_path=shortest,
         path_length=env.path_length, steps=env.steps, max_steps=env.cfg.max_steps,
-        target_detected=target_detected, target_seen=target_seen,
-        collisions=env.collisions,
+        target_detected=target_detected, target_seen=target_seen or seen_map,
+        collisions=env.collisions, false_positive=fp,
+        traveled_stairs=stairs.traveled_stairs,
+        feasible=getattr(env, "path_feasible", True),
     )
     return result, stats

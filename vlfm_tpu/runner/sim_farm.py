@@ -60,11 +60,12 @@ FLAG_DONE = 1
 FLAG_TARGET_VISIBLE = 2
 
 
-def obs_slot_bytes(height: int, width: int) -> int:
-    return _OBS_HEAD.size + 4 * height * width + (height * width + 7) // 8
+def obs_slot_bytes(height: int, width: int, rgb: bool = False) -> int:
+    base = _OBS_HEAD.size + 4 * height * width + (height * width + 7) // 8
+    return base + (3 * height * width if rgb else 0)
 
 
-def pack_obs(lane: int, seed: int, step: int, o: dict) -> bytes:
+def pack_obs(lane: int, seed: int, step: int, o: dict, rgb: bool = False) -> bytes:
     flags = (FLAG_DONE if o["done"] else 0) | (
         FLAG_TARGET_VISIBLE if o["target_visible"] else 0
     )
@@ -76,10 +77,12 @@ def pack_obs(lane: int, seed: int, step: int, o: dict) -> bytes:
     )
     depth = np.ascontiguousarray(o["depth"], np.float32).tobytes()
     mask = np.packbits(np.asarray(o["target_mask"], bool)).tobytes()
+    if rgb:
+        return head + depth + mask + np.ascontiguousarray(o["rgb"], np.uint8).tobytes()
     return head + depth + mask
 
 
-def unpack_obs(payload: bytes, height: int, width: int) -> dict:
+def unpack_obs(payload: bytes, height: int, width: int, rgb: bool = False) -> dict:
     (lane, kind, seed, step, flags, heading, x, y, dist, cosine,
      agent_z) = _OBS_HEAD.unpack_from(payload, 0)
     assert kind == KIND_OBS
@@ -88,7 +91,14 @@ def unpack_obs(payload: bytes, height: int, width: int) -> dict:
     off += 4 * height * width
     nbits = (height * width + 7) // 8
     mask = np.unpackbits(np.frombuffer(payload, np.uint8, nbits, off))[: height * width]
+    rgb_img = None
+    if rgb:
+        off2 = off + nbits
+        rgb_img = np.frombuffer(payload, np.uint8, 3 * height * width, off2).reshape(
+            height, width, 3
+        )
     return {
+        "rgb": rgb_img,
         "lane": lane,
         "seed": seed,
         "step": step,
@@ -126,6 +136,7 @@ def worker_main(
     plan_name: str,
     env_cfg: "FE.EnvConfig",
     max_steps: int,
+    want_rgb: bool = False,
 ) -> None:
     """Sim worker process: owns ``lane_ids``, drains its private seed queue.
 
@@ -162,7 +173,7 @@ def worker_main(
         shortest[lane] = envs[lane].shortest_path_length()
         o = envs[lane].reset()
         seen[lane] = bool(o["target_visible"])
-        t = obs_ring.push(pack_obs(lane, s, 0, o))
+        t = obs_ring.push(pack_obs(lane, s, 0, o, rgb=want_rgb))
         dbg("pushed initial obs", "lane", lane, "seed", s, "ticket", t)
         active.add(lane)
 
@@ -193,7 +204,7 @@ def worker_main(
                     start_episode(lane)
             else:
                 seen[lane] = seen[lane] or bool(o["target_visible"])
-                obs_ring.push(pack_obs(lane, seed, steps[lane], o))
+                obs_ring.push(pack_obs(lane, seed, steps[lane], o, rgb=want_rgb))
 
 
 @dataclass
@@ -239,8 +250,19 @@ def run_episodes_farm(
     version: str = "v2",
     max_steps: Optional[int] = None,
     ring_prefix: str = "vlfm_farm",
+    perception=None,
+    target: str = "toilet",
 ):
     """Drive ``lanes`` episode lanes fed by ``workers`` sim processes.
+
+    With ``perception`` (a FullStackPerception), RGB frames cross the shm
+    ring and each group dispatch runs the REAL model stack batched
+    (perception.batch: BLIP2-ITM scoring + detection + SAM) instead of the
+    env's oracle cosine/target-mask — live envs + real models + streamed
+    observations as ONE system (the reference's per-step traffic,
+    itm_policy.py:191-211 + base_objectnav_policy.py:311-321 driven by
+    vlfm_trainer.py:164-325). The monocular-depth all-ones trigger is not
+    exercised here (synthetic depth is never all-ones).
 
     Returns ({seed: EpisodeResult}, FarmStats). Requires the native obsring
     (ObservationRing.available()); callers fall back to run_episodes_recycled.
@@ -262,8 +284,11 @@ def run_episodes_farm(
     half = lanes // 2
     groups = [list(range(0, half)), list(range(half, lanes))]
 
+    want_rgb = perception is not None
     obs_ring = ObservationRing.create(
-        f"{ring_prefix}_obs", slot_bytes=obs_slot_bytes(h, w), n_slots=4 * lanes + 16
+        f"{ring_prefix}_obs",
+        slot_bytes=obs_slot_bytes(h, w, rgb=want_rgb),
+        n_slots=4 * lanes + 16,
     )
     act_ring = ObservationRing.create(
         f"{ring_prefix}_act", slot_bytes=_ACT_REC.size, n_slots=64 * lanes + 64
@@ -306,7 +331,7 @@ def run_episodes_farm(
                 args=(
                     f"{ring_prefix}_obs", f"{ring_prefix}_act",
                     [int(x) for x in lane_spans[wi]], seed_splits[wi],
-                    plan_name, env_cfg, limit,
+                    plan_name, env_cfg, limit, want_rgb,
                 ),
                 daemon=True,
             )
@@ -360,7 +385,7 @@ def run_episodes_farm(
                     target_radius=t_radius, feasible=bool(feasible),
                 ))
             else:
-                o = unpack_obs(payload, h, w)
+                o = unpack_obs(payload, h, w, rgb=want_rgb)
                 li = lane_info[o["lane"]]
                 if o["seed"] != li.seed:  # recycled: new episode on this lane
                     # stash the finished episode's taxonomy accumulators — its
@@ -420,7 +445,7 @@ def run_episodes_farm(
 
     def dispatch(g: int) -> None:
         idx = groups[g]
-        obs_rows, reset_mask, rngs, cos = [], [], [], []
+        obs_rows, reset_mask, rngs, cos, rgb_rows = [], [], [], [], []
         masks_np = np.zeros((half, k, h, w), bool)
         valid_np = np.zeros((half, k), bool)
         meta = []
@@ -437,6 +462,8 @@ def run_episodes_farm(
             if o["target_visible"]:
                 masks_np[j, 0] = o["target_mask"]
                 valid_np[j, 0] = True
+            if want_rgb:
+                rgb_rows.append(o["rgb"])
             meta.append((lane, li.seed, li.step, li.pending is not None))
             li.last = o
             li.needs_reset = False
@@ -444,9 +471,14 @@ def run_episodes_farm(
         if any(reset_mask):
             gstate[g] = reset_lanes(gstate[g], jnp.asarray(np.array(reset_mask)))
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_rows)
+        if perception is not None:
+            # the real model stack, batched over the group's streamed frames
+            cos_b, masks_b, valid_b = perception.batch(np.stack(rgb_rows), target)
+        else:
+            cos_b = jnp.asarray(np.stack(cos))
+            masks_b, valid_b = jnp.asarray(masks_np), jnp.asarray(valid_np)
         actions, infos, gstate[g] = step_fn(
-            gstate[g], stacked, jnp.asarray(np.stack(cos)),
-            jnp.asarray(masks_np), jnp.asarray(valid_np), jnp.stack(rngs),
+            gstate[g], stacked, cos_b, masks_b, valid_b, jnp.stack(rngs),
         )
         inflight[g] = (actions, infos, meta)
         stats.dispatches += 1
