@@ -38,7 +38,7 @@ from vlfm_tpu.models.coco_detector import CocoDetector
 from vlfm_tpu.models.owl_vit import OwlViTDetector, top_detections
 from vlfm_tpu.models.sam import SAM
 from vlfm_tpu.models.t5_vqa import T5VQA
-from vlfm_tpu.ops.morphology import dilate
+from vlfm_tpu.ops.morphology import dilate, erode
 
 
 @dataclass
@@ -73,13 +73,32 @@ class VQAVeto:
             self._q_cache[phrase] = (jnp.asarray(ids), jnp.asarray(mask))
         return self._q_cache[phrase]
 
-    def __call__(self, rgb, masks, valid, phrase: str):
-        """(B,H,W,3) uint8, (B,K,H,W) bool, (B,K) bool -> vetoed valid (B,K)."""
+    def __call__(self, rgb, masks, valid, phrases, cls=None):
+        """(B,H,W,3) uint8, (B,K,H,W) bool, (B,K) bool -> vetoed valid (B,K).
+
+        ``phrases``: the question subjects. A bare str asks one question for
+        every detection; a list is a per-class phrase bank indexed by ``cls``
+        (B, K) — the batched form of the reference asking about the
+        detector's MATCHED phrase, detections.phrases[idx]
+        (base_objectnav_policy.py:330-333)."""
         b, k = valid.shape
-        ids, qmask = self._question_tokens(phrase)
-        # contour annotation: outer 1-px ring of each mask painted red
-        # (cv2.drawContours thickness-2 analogue, base_objectnav_policy.py:327-328)
-        ring = jax.vmap(jax.vmap(lambda m: dilate(m, 3) & ~m))(masks)
+        if isinstance(phrases, str):
+            phrases = [phrases]
+            cls = None
+        bank = [self._question_tokens(p) for p in phrases]
+        ids_bank = jnp.stack([i for i, _ in bank])  # (T, L)
+        mask_bank = jnp.stack([m for _, m in bank])
+        if cls is None or len(phrases) == 1:
+            ids = jnp.broadcast_to(ids_bank[0][None], (b * k, ids_bank.shape[1]))
+            qmask = jnp.broadcast_to(mask_bank[0][None], (b * k, mask_bank.shape[1]))
+        else:
+            c = jnp.clip(cls, 0, len(phrases) - 1).reshape(b * k)
+            ids, qmask = ids_bank[c], mask_bank[c]
+        # contour annotation: the 2-px boundary band of each mask painted red
+        # (cv2.drawContours thickness=2 centres the line on the mask boundary,
+        # covering ~1 px either side: dilate & ~erode is that band;
+        # base_objectnav_policy.py:327-328)
+        ring = jax.vmap(jax.vmap(lambda m: dilate(m, 3) & ~erode(m, 3)))(masks)
         red = jnp.asarray([255, 0, 0], jnp.uint8)
         annotated = jnp.where(
             ring[..., None], red[None, None, None, None], rgb[:, None]
@@ -87,8 +106,7 @@ class VQAVeto:
         flat = annotated.reshape(b * k, *annotated.shape[2:])
         prefix = self.image_prefix(flat) if self.image_prefix is not None else None
         gen = self.vqa.generate(
-            jnp.broadcast_to(ids[None], (b * k, ids.shape[0])),
-            jnp.broadcast_to(qmask[None], (b * k, qmask.shape[0])),
+            ids, qmask,
             max_new_tokens=self.max_answer_tokens,
             prefix=prefix,
         )
@@ -146,6 +164,8 @@ class DetectionPipeline:
     def __call__(self, rgb: jnp.ndarray, target: str):
         """(B, H, W, 3) uint8 -> (masks (B, K, H, W) bool, valid (B, K))."""
         b, h, w = rgb.shape[:3]
+        names = target.split("|")
+        phrase_cls = None  # per-detection index into ``names``
         if is_coco_target(target):
             # COCO targets use the high-precision threshold first; a miss
             # retries open-vocab at the lower threshold
@@ -156,22 +176,35 @@ class DetectionPipeline:
             # silently degrade to a flat 0.4 (review finding).
             if self.coco_detector is not None:
                 xyxy, scores, cls, valid = self._coco_path(rgb, target)
+                # the coco path's cls indexes COCO_CLASSES; remap to the
+                # matched-name index for the per-detection VQA phrase
+                tids = jnp.asarray(
+                    [COCO_CLASSES.index(n) if n in COCO_CLASSES else -1
+                     for n in names],
+                    jnp.int32,
+                )
+                phrase_cls = jnp.argmax(
+                    cls[..., None] == tids[None, None, :], axis=-1
+                )
             else:
                 xyxy, scores, cls, valid = self._open_vocab(
                     rgb, target, self.coco_threshold
                 )
+                phrase_cls = cls
             xyxy2, scores2, cls2, valid2 = self._open_vocab(
                 rgb, target, self.non_coco_threshold
             )
             missed = ~valid.any(axis=1)  # (B,)
             xyxy = jnp.where(missed[:, None, None], xyxy2, xyxy)
             scores = jnp.where(missed[:, None], scores2, scores)
+            phrase_cls = jnp.where(missed[:, None], cls2, phrase_cls)
             cls = jnp.where(missed[:, None], cls2, cls)
             valid = jnp.where(missed[:, None], valid2, valid)
         else:
             xyxy, scores, cls, valid = self._open_vocab(
                 rgb, target, self.non_coco_threshold
             )
+            phrase_cls = cls
 
         sam_imgs = resize_bilinear(
             rgb.astype(jnp.float32),
@@ -186,9 +219,9 @@ class DetectionPipeline:
         masks = masks & valid[:, :, None, None]
 
         if self.use_vqa and self.vqa_veto is not None:
-            # phrase = the first target name, as the reference passes the
-            # detection phrase (here the class the query matched)
-            valid = self.vqa_veto(rgb, masks, valid, target.split("|")[0])
+            # per-detection phrase = the matched query name, as the reference
+            # asks about detections.phrases[idx]
+            valid = self.vqa_veto(rgb, masks, valid, names, phrase_cls)
             masks = masks & valid[:, :, None, None]
 
         return masks, valid, (xyxy, scores, cls)

@@ -409,6 +409,7 @@ def evaluate(
             called_stop=bool(m["called_stop"]),
             distance_to_goal=float(m["distance_to_goal"]),
             success_radius=_success_radius_from(m),
+            success_override=bool(m["success"]) if "success" in m else None,
             shortest_path=float(m["shortest_path"]),
             path_length=float(m["path_length"]),
             steps=int(m["steps"]),
@@ -444,8 +445,8 @@ def evaluate(
 
 def _success_radius_from(m: Dict[str, Any]) -> float:
     # Both provided envs report the radius directly (HabitatEnvWrapper reads
-    # it from the task config); the reconstruction below is a last resort for
-    # foreign envs that only expose the success bit.
-    if "success_radius" in m:
-        return float(m["success_radius"])
-    return float(m["distance_to_goal"]) + 1e-6 if m["success"] else 0.2
+    # it from the task config). A foreign env that only exposes the success
+    # bit gets the habitat default radius — its success bit flows through
+    # compute_result's success_override, so the radius only feeds the
+    # false-positive fallback heuristic, never the success decision.
+    return float(m.get("success_radius", 0.2))

@@ -44,8 +44,16 @@ def compute_result(
     false_positive: Optional[bool] = None,
     traveled_stairs: bool = False,
     feasible: bool = True,
+    success_override: Optional[bool] = None,
 ) -> EpisodeResult:
-    success = called_stop and distance_to_goal <= success_radius
+    # an env that reports success authoritatively (habitat's Success measure)
+    # passes it through; otherwise success is derived from the stop/radius
+    # rule the reference's task config encodes
+    success = (
+        bool(success_override)
+        if success_override is not None
+        else (called_stop and distance_to_goal <= success_radius)
+    )
     denom = max(path_length, shortest_path, 1e-6)
     spl = float(success) * shortest_path / denom
     # soft-SPL: progress toward goal scaled by path efficiency
