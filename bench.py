@@ -535,6 +535,9 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
         "streamed_obs_mb_per_step": round(obs_bytes / 1e6, 2),
         "streamed_obs_mb_per_s": round(stats.env_steps * obs_bytes / 1e6 / stats.wall_time, 1),
         "streamed_overlapped_frac": round(stats.overlapped / max(stats.dispatches, 1), 2),
+        "streamed_t_drain_s": round(stats.t_drain, 1),
+        "streamed_t_dispatch_s": round(stats.t_dispatch, 1),
+        "streamed_t_sync_s": round(stats.t_sync, 1),
         "streamed_success_rate": round(
             sum(r.success for r in results.values()) / max(len(results), 1), 3
         ),

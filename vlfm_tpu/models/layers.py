@@ -118,5 +118,17 @@ class MLP(nn.Module):
     def __call__(self, x):
         d = x.shape[-1]
         y = nn.Dense(self.hidden, name="fc1")(x)
-        y = nn.gelu(y, approximate=self.approximate_gelu)
+        from vlfm_tpu.ops.backend import default_interpret
+
+        if self.approximate_gelu or default_interpret():
+            y = nn.gelu(y, approximate=self.approximate_gelu)
+        else:
+            # TPU serving: exact-erf gelu burns VPU time on exp/divide (and
+            # erf itself); the degree-8 odd-poly fit (|err| <= 1.3e-4,
+            # FMA-only) is the same substitution the TinyViT serving path
+            # uses (ops/conv_fused.gelu_poly). CPU/interpret runs keep the
+            # exact erf so HF-parity tests bind tightly.
+            from vlfm_tpu.ops.conv_fused import gelu_poly
+
+            y = gelu_poly(y)
         return nn.Dense(d, name="fc2")(y)

@@ -144,6 +144,112 @@ class FullStackPerception:
             sam_frame_capacity=cfg.sam_frame_capacity,
         )
 
+    def make_fused_step(self, pointnav, spec, cfg, target: str, version: str = "v2"):
+        """ONE jitted program for a whole farm group dispatch: perception
+        (ITM scoring + detection routing + gated SAM) + lane resets + the
+        batched policy step, with host numpy batches as inputs.
+
+        Rationale (measured, scripts/diag_streamed.py + diag_farm.py): the
+        unfused farm dispatch made ~140 tiny eager device calls per group
+        (per-lane ``_obs_from_env`` transfers, per-lane rng keys, pipeline
+        glue) at ~2.6 ms tunnel overhead each — 2.4 s/dispatch against a
+        412 ms device path. Fusing the dispatch into one call leaves one
+        h->d transfer batch plus one program launch.
+
+        The per-(seed, step) rng keys are computed IN the program from int32
+        seed/step vectors with the same fold_in(PRNGKey(seed), step) bits as
+        episode_driver._step_key, so results stay scheduling-independent and
+        identical to the single-episode driver (tests/test_farm_full_stack.py).
+
+        Returns a callable
+            (gstate, fresh, reset_mask, depth, heading, xy, rgb, seeds, steps)
+            -> (actions, target_detected, goals, gstate')
+        that threads the model params as traced jit arguments each call
+        (handles are cheap; closure capture would embed GBs as constants).
+
+        The VQA-veto path is not supported here (its T5/bridge params would
+        need threading too); callers keep the unfused dispatch when
+        ``use_vqa`` is on.
+        """
+        assert not self.pipeline.use_vqa, "fused farm step does not thread VQA params"
+        # one compiled program per (target, version) per process: the warmup
+        # farm and the measured farm (and any later runs) must share the same
+        # jax.jit object, or each pays the multi-minute compile/cache-load of
+        # the 1.3B-param program again
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        key = (target, version, id(pointnav), id(spec), id(cfg))
+        if key in cache:
+            return cache[key]
+        from vlfm_tpu.policy import itm as policy_itm
+        from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
+
+        itm_model, pipe = self.itm, self.pipeline
+        text_feats = self.engine.text_features(target)
+        cam_height = cfg.camera.camera_height
+
+        def one_step(state, obs, cos, masks, valid, key):
+            return policy_itm.step(
+                state, obs, cos, masks, valid, key,
+                pointnav=pointnav, spec=spec, cfg=cfg, version=version,
+            )
+
+        @jax.jit
+        def fused(itm_p, det_p, sam_p, gstate, fresh, reset_mask,
+                  depth, heading, xy, rgb, seeds, steps):
+            def sel(b, f):
+                m = reset_mask.reshape((-1,) + (1,) * (b.ndim - 1))
+                return jnp.where(m, f, b)
+
+            gstate = jax.tree_util.tree_map(sel, gstate, fresh)
+            # rebind the model wrappers over the traced params: their jitted
+            # entry points inline into this trace
+            itm2 = BLIP2ITM(itm_model.cfg, itm_p)
+            cos = itm2.cosine_cached_text(itm2.preprocess(rgb), text_feats)
+            cos = cos[:, : cfg.value_channels]
+            det2 = OwlViTDetector(pipe.detector.cfg, det_p)
+            sam2 = SAM(pipe.sam.cfg, sam_p)
+            coco2 = None
+            if pipe.coco_detector is not None:
+                coco2 = CocoDetector(
+                    det2, pipe.encode_queries,
+                    conf_threshold=pipe.coco_detector.conf_threshold,
+                    max_detections=pipe.coco_detector.max_detections,
+                )
+            pipe2 = DetectionPipeline(
+                det2, sam2, pipe.encode_queries, coco_detector=coco2,
+                coco_threshold=pipe.coco_threshold,
+                non_coco_threshold=pipe.non_coco_threshold,
+                max_detections=pipe.max_detections,
+                sam_frame_capacity=pipe.sam_frame_capacity,
+            )
+            masks, valid, _ = pipe2(rgb, target)
+            cam_pos = jnp.concatenate(
+                [xy, jnp.full((xy.shape[0], 1), cam_height, xy.dtype)], axis=1
+            )
+            tf = jax.vmap(xyz_yaw_to_tf_matrix)(cam_pos, heading)
+            obs = policy_itm.Observation(
+                depth=depth, tf_camera_to_episodic=tf,
+                robot_xy=xy, robot_heading=heading,
+            )
+            keys = jax.vmap(
+                lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
+            )(seeds, steps)
+            actions, infos, gstate2 = jax.vmap(one_step)(
+                gstate, obs, cos, masks, valid, keys
+            )
+            return actions, infos.target_detected, infos.goal, gstate2
+
+        params3 = (self.itm.params, pipe.detector.params, pipe.sam.params)
+
+        def call(gstate, fresh, reset_mask, depth, heading, xy, rgb, seeds, steps):
+            return fused(*params3, gstate, fresh, reset_mask,
+                         depth, heading, xy, rgb, seeds, steps)
+
+        cache[key] = call
+        return call
+
     def batch(self, rgb_b, target: str):
         """Batched serving entry: (B, H, W, 3) uint8 -> (cosines (B, C),
         masks (B, K, H, W) bool, valid (B, K) bool) — ONE jitted call per

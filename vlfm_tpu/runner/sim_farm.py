@@ -213,6 +213,11 @@ class FarmStats:
     wall_time: float = 0.0
     dispatches: int = 0
     overlapped: int = 0  # dispatches issued while another group was in flight
+    # phase accounting (seconds of driver wall time), for serving diagnosis:
+    t_drain: float = 0.0  # ring polling + record unpack
+    t_dispatch: float = 0.0  # obs stacking + perception + policy enqueue
+    t_sync: float = 0.0  # blocking on device results + action pushback
+    t_idle: float = 0.0  # waiting for worker observations
 
     @property
     def steps_per_sec(self) -> float:
@@ -347,6 +352,17 @@ def run_episodes_farm(
     fresh = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (half, *x.shape)), base)
     gstate = [jax.tree_util.tree_map(jnp.copy, fresh) for _ in range(2)]
 
+    # The fused dispatch: perception + resets + policy as ONE jitted call per
+    # group (the unfused path made ~140 tiny eager device calls per dispatch
+    # — ~2.4 s of tunnel overhead against a ~0.4 s device path; see
+    # FullStackPerception.make_fused_step). The VQA-veto configuration keeps
+    # the unfused batch() path.
+    fused = None
+    if perception is not None and not perception.pipeline.use_vqa:
+        fused = perception.make_fused_step(
+            pointnav, spec, cfg, target, version=version
+        )
+
     def one(state, obs, cosines, masks, valid, rng):
         return itm.step(
             state, obs, cosines, masks, valid, rng,
@@ -367,6 +383,7 @@ def run_episodes_farm(
     results: Dict[int, M.EpisodeResult] = {}
     expected = len(episode_seeds)
     inflight: List[Optional[tuple]] = [None, None]
+    inflight_order: List[int] = []  # dispatch order, oldest first
     pending_results: List[dict] = []
     stats = FarmStats()
     t0 = time.time()
@@ -445,52 +462,84 @@ def run_episodes_farm(
 
     def dispatch(g: int) -> None:
         idx = groups[g]
-        obs_rows, reset_mask, rngs, cos, rgb_rows = [], [], [], [], []
-        masks_np = np.zeros((half, k, h, w), bool)
-        valid_np = np.zeros((half, k), bool)
         meta = []
-        for j, lane in enumerate(idx):
-            li = lane_info[lane]
-            o = li.pending if li.pending is not None else li.last
-            if li.pending is not None:
-                li.stairs.update(o.get("agent_z", 0.0))
-            obs_rows.append(_obs_from_env(o, cfg))
-            reset_mask.append(li.needs_reset)
-            rngs.append(_step_key(li.seed, li.step) if li.pending is not None
-                        else _step_key(0, 0))
-            cos.append(np.full((cfg.value_channels,), o["cosine"], np.float32))
-            if o["target_visible"]:
-                masks_np[j, 0] = o["target_mask"]
-                valid_np[j, 0] = True
-            if want_rgb:
-                rgb_rows.append(o["rgb"])
-            meta.append((lane, li.seed, li.step, li.pending is not None))
-            li.last = o
-            li.needs_reset = False
-            li.pending = None
-        if any(reset_mask):
-            gstate[g] = reset_lanes(gstate[g], jnp.asarray(np.array(reset_mask)))
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_rows)
-        if perception is not None:
-            # the real model stack, batched over the group's streamed frames
-            cos_b, masks_b, valid_b = perception.batch(np.stack(rgb_rows), target)
+        if fused is not None:
+            # ONE jitted call: numpy batches in, (actions, detected, goals,
+            # state') out. device_put is async on this backend, so the h->d
+            # transfer of one group overlaps the other group's device time.
+            depth_b = np.empty((half, h, w), np.float32)
+            rgb_b = np.empty((half, h, w, 3), np.uint8)
+            heading_b = np.empty((half,), np.float32)
+            xy_b = np.empty((half, 2), np.float32)
+            seeds_b = np.zeros((half,), np.int32)
+            steps_b = np.zeros((half,), np.int32)
+            reset_b = np.zeros((half,), bool)
+            for j, lane in enumerate(idx):
+                li = lane_info[lane]
+                o = li.pending if li.pending is not None else li.last
+                if li.pending is not None:
+                    li.stairs.update(o.get("agent_z", 0.0))
+                    seeds_b[j], steps_b[j] = li.seed, li.step
+                depth_b[j], rgb_b[j] = o["depth"], o["rgb"]
+                heading_b[j], xy_b[j] = o["heading"], o["robot_xy"]
+                reset_b[j] = li.needs_reset
+                meta.append((lane, li.seed, li.step, li.pending is not None))
+                li.last = o
+                li.needs_reset = False
+                li.pending = None
+            depth_d, rgb_d = jax.device_put(depth_b), jax.device_put(rgb_b)
+            actions, detected, goals, gstate[g] = fused(
+                gstate[g], fresh, jnp.asarray(reset_b), depth_d,
+                jnp.asarray(heading_b), jnp.asarray(xy_b), rgb_d,
+                jnp.asarray(seeds_b), jnp.asarray(steps_b),
+            )
         else:
-            cos_b = jnp.asarray(np.stack(cos))
-            masks_b, valid_b = jnp.asarray(masks_np), jnp.asarray(valid_np)
-        actions, infos, gstate[g] = step_fn(
-            gstate[g], stacked, cos_b, masks_b, valid_b, jnp.stack(rngs),
-        )
-        inflight[g] = (actions, infos, meta)
+            obs_rows, reset_mask, rngs, cos, rgb_rows = [], [], [], [], []
+            masks_np = np.zeros((half, k, h, w), bool)
+            valid_np = np.zeros((half, k), bool)
+            for j, lane in enumerate(idx):
+                li = lane_info[lane]
+                o = li.pending if li.pending is not None else li.last
+                if li.pending is not None:
+                    li.stairs.update(o.get("agent_z", 0.0))
+                obs_rows.append(_obs_from_env(o, cfg))
+                reset_mask.append(li.needs_reset)
+                rngs.append(_step_key(li.seed, li.step) if li.pending is not None
+                            else _step_key(0, 0))
+                cos.append(np.full((cfg.value_channels,), o["cosine"], np.float32))
+                if o["target_visible"]:
+                    masks_np[j, 0] = o["target_mask"]
+                    valid_np[j, 0] = True
+                if want_rgb:
+                    rgb_rows.append(o["rgb"])
+                meta.append((lane, li.seed, li.step, li.pending is not None))
+                li.last = o
+                li.needs_reset = False
+                li.pending = None
+            if any(reset_mask):
+                gstate[g] = reset_lanes(gstate[g], jnp.asarray(np.array(reset_mask)))
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_rows)
+            if perception is not None:
+                # unfused model stack (VQA-veto configurations)
+                cos_b, masks_b, valid_b = perception.batch(np.stack(rgb_rows), target)
+            else:
+                cos_b = jnp.asarray(np.stack(cos))
+                masks_b, valid_b = jnp.asarray(masks_np), jnp.asarray(valid_np)
+            actions, infos, gstate[g] = step_fn(
+                gstate[g], stacked, cos_b, masks_b, valid_b, jnp.stack(rngs),
+            )
+            detected, goals = infos.target_detected, infos.goal
+        inflight[g] = (actions, detected, goals, meta)
         stats.dispatches += 1
         if inflight[1 - g] is not None:
             stats.overlapped += 1
 
     def sync(g: int) -> None:
-        actions, infos, meta = inflight[g]
+        actions, detected, goals, meta = inflight[g]
         inflight[g] = None
-        actions_np = np.asarray(jax.device_get(actions))
-        detected_np = np.asarray(jax.device_get(infos.target_detected))
-        goals_np = np.asarray(jax.device_get(infos.goal))
+        actions_np, detected_np, goals_np = (
+            np.asarray(x) for x in jax.device_get((actions, detected, goals))
+        )
         for j, (lane, seed, step, live) in enumerate(meta):
             if not live:
                 continue
@@ -521,22 +570,43 @@ def run_episodes_farm(
                     f"workers={[p.is_alive() for p in procs]}",
                     file=_sys.stderr, flush=True,
                 )
+            t_a = time.time()
             drain()
             finalize_ready()
+            stats.t_drain += time.time() - t_a
             progressed = False
             for g in (0, 1):
                 if can_dispatch(g):
+                    t_a = time.time()
                     dispatch(g)
+                    stats.t_dispatch += time.time() - t_a
+                    inflight_order.append(g)
                     progressed = True
-            # sync the oldest inflight first so its workers resume while the
-            # other group still occupies the device
-            for g in (0, 1):
-                if inflight[g] is not None:
+            # Sync policy: blocking on a group's readback before the OTHER
+            # group has dispatched serializes the ping-pong (the round-3
+            # streamed bench measured overlapped=0). Sync the oldest inflight
+            # only once both groups are on the device; with a single group
+            # inflight, wait for the other group's observations UNLESS it can
+            # never dispatch again (all lanes finished) or its workers are
+            # slow (grace window) — its obs arrive while this group computes.
+            if inflight_order:
+                g = inflight_order[0]
+                other = 1 - g
+                other_alive = any(li.active for li in (lane_info[i] for i in groups[other]))
+                if (
+                    len(inflight_order) == 2
+                    or not other_alive
+                    or time.time() - idle_since > 0.25
+                ):
+                    inflight_order.pop(0)
+                    t_a = time.time()
                     sync(g)
+                    stats.t_sync += time.time() - t_a
                     progressed = True
             if progressed:
                 idle_since = time.time()
             else:
+                stats.t_idle += 0.0005
                 # lanes whose worker drained its queue go inactive: their
                 # episode result arrived and no fresh obs follows
                 for li in lane_info:
