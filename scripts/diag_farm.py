@@ -24,7 +24,7 @@ from vlfm_tpu.runner.full_stack import FullStackPerception
 
 
 def main():
-    lanes, workers, max_steps = 16, 2, 12
+    lanes, workers, max_steps = 16, 2, 30
     cfg = VLFMConfig(sam_frame_capacity=max(2, lanes // 4))
     spec = GridSpec2D(size=1024, pixels_per_meter=20, pad=160)
     itm_model, detector, sam, _ = production_models()

@@ -36,6 +36,7 @@ SLOW_FILES = {
     "test_blip2.py",
     "test_checkpoint_and_batched.py",
     "test_detection_pipeline.py",
+    "test_farm_full_stack.py",
     "test_full_stack.py",
     "test_gdino_pipeline.py",
     "test_grounding_dino.py",

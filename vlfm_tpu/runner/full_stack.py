@@ -21,7 +21,7 @@ from vlfm_tpu.config import VLFMConfig
 from vlfm_tpu.mapping.grid import GridSpec2D
 from vlfm_tpu.models.blip2_itm import BLIP2ITM, BLIP2ITMConfig
 from vlfm_tpu.models.coco_detector import CocoDetector
-from vlfm_tpu.models.monodepth import MonocularDepth
+from vlfm_tpu.models.monodepth import MonocularDepthModel
 from vlfm_tpu.models.owl_vit import OwlViTDetConfig, OwlViTDetector
 from vlfm_tpu.models.sam import SAM, SamConfig, SamDecoderConfig, SamVisionConfig
 from vlfm_tpu.models.t5_vqa import T5Config, T5VQA
@@ -73,7 +73,7 @@ class FullStackPerception:
         sam: Optional[SAM] = None,
         vqa: Optional[T5VQA] = None,
         blip2_vqa=None,  # models/blip2_vqa.BLIP2VQA: the real visual bridge
-        monodepth: Optional[MonocularDepth] = None,
+        monodepth: Optional[MonocularDepthModel] = None,
         det_threshold: float = 0.0,
         yes_token_id: int = 42,
     ):

@@ -82,7 +82,12 @@ def pack_obs(lane: int, seed: int, step: int, o: dict, rgb: bool = False) -> byt
     return head + depth + mask
 
 
-def unpack_obs(payload: bytes, height: int, width: int, rgb: bool = False) -> dict:
+def unpack_obs(
+    payload: bytes, height: int, width: int, rgb: bool = False, mask: bool = True
+) -> dict:
+    """``mask=False`` skips the target-mask unpackbits — the perception
+    (model-based) farm path never reads it, and on a 1-core host the per-
+    record unpack competes with the sim workers for the CPU."""
     (lane, kind, seed, step, flags, heading, x, y, dist, cosine,
      agent_z) = _OBS_HEAD.unpack_from(payload, 0)
     assert kind == KIND_OBS
@@ -90,7 +95,10 @@ def unpack_obs(payload: bytes, height: int, width: int, rgb: bool = False) -> di
     depth = np.frombuffer(payload, np.float32, height * width, off).reshape(height, width)
     off += 4 * height * width
     nbits = (height * width + 7) // 8
-    mask = np.unpackbits(np.frombuffer(payload, np.uint8, nbits, off))[: height * width]
+    target_mask = None
+    if mask:
+        bits = np.unpackbits(np.frombuffer(payload, np.uint8, nbits, off))
+        target_mask = bits[: height * width].reshape(height, width).astype(bool)
     rgb_img = None
     if rgb:
         off2 = off + nbits
@@ -110,7 +118,7 @@ def unpack_obs(payload: bytes, height: int, width: int, rgb: bool = False) -> di
         "cosine": cosine,
         "agent_z": agent_z,
         "depth": depth,
-        "target_mask": mask.reshape(height, width).astype(bool),
+        "target_mask": target_mask,
     }
 
 
@@ -184,7 +192,7 @@ def worker_main(
     while active:
         got = act_ring.poll_batch(max_records=64)
         if not got:
-            time.sleep(0.0005)
+            time.sleep(0.002)  # 1-core host: don't steal the driver's CPU
             continue
         for _, payload in got:
             lane, seed, step, action = _ACT_REC.unpack(payload)
@@ -402,7 +410,7 @@ def run_episodes_farm(
                     target_radius=t_radius, feasible=bool(feasible),
                 ))
             else:
-                o = unpack_obs(payload, h, w, rgb=want_rgb)
+                o = unpack_obs(payload, h, w, rgb=want_rgb, mask=perception is None)
                 li = lane_info[o["lane"]]
                 if o["seed"] != li.seed:  # recycled: new episode on this lane
                     # stash the finished episode's taxonomy accumulators — its
@@ -606,13 +614,15 @@ def run_episodes_farm(
             if progressed:
                 idle_since = time.time()
             else:
-                stats.t_idle += 0.0005
+                stats.t_idle += 0.002
                 # lanes whose worker drained its queue go inactive: their
                 # episode result arrived and no fresh obs follows
                 for li in lane_info:
                     if li.active and li.pending is None and li.seed in results:
                         li.active = False
-                time.sleep(0.0005)
+                # 2 ms back-off: on a 1-core host the driver's poll spin
+                # steals the CPU from the sim worker processes
+                time.sleep(0.002)
                 if time.time() - idle_since > 120.0:
                     raise RuntimeError(
                         f"sim farm stalled: {len(results)}/{expected} episodes"
