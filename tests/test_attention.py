@@ -1,0 +1,47 @@
+"""Fused attention kernel (ops/attention.flash_attention) parity vs the
+einsum reference (models/layers.attention), interpret mode on CPU —
+including the production ViT-g shape (L=257, D=88) whose padding/masking
+the kernel must handle."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from vlfm_tpu.models.layers import attention  # noqa: E402
+from vlfm_tpu.ops.attention import flash_attention  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "b,h,l,d",
+    [(2, 2, 64, 32), (1, 16, 257, 88), (2, 4, 130, 16)],
+)
+def test_matches_reference_f32(b, h, l, d):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, l, d), jnp.float32) for kk in ks)
+    want = attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_matches_reference_bf16():
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (
+        jax.random.normal(kk, (2, 4, 257, 88)).astype(jnp.bfloat16) for kk in ks
+    )
+    want = np.asarray(attention(q, k, v), np.float32)
+    got = np.asarray(flash_attention(q, k, v, interpret=True), np.float32)
+    # bf16 paths differ only in logit rounding (the kernel keeps f32 logits,
+    # the reference einsum rounds through bf16 before its f32 softmax)
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_padded_keys_do_not_leak():
+    # all-equal values: any softmax weighting gives the same output, UNLESS
+    # zero-padded keys leak probability mass onto zero-padded values
+    q = jnp.ones((1, 1, 257, 88))
+    k = jnp.ones((1, 1, 257, 88))
+    v = jnp.ones((1, 1, 257, 88))
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)

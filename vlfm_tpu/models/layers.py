@@ -72,7 +72,11 @@ def merge_heads(x):
 
 
 class FusedQKVAttention(nn.Module):
-    """CLIP/EVA-style attention with one fused qkv projection."""
+    """CLIP/EVA-style attention with one fused qkv projection.
+
+    On TPU the softmax(QK^T)V core runs as the fused pallas kernel
+    (ops/attention.flash_attention) — no HBM round trip for the (B, H, L,
+    L) logits; CPU/interpret keeps the einsum reference path."""
 
     num_heads: int
 
@@ -81,11 +85,15 @@ class FusedQKVAttention(nn.Module):
         d = x.shape[-1]
         qkv = nn.Dense(3 * d, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = attention(
-            split_heads(q, self.num_heads),
-            split_heads(k, self.num_heads),
-            split_heads(v, self.num_heads),
-        )
+        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
+        from vlfm_tpu.ops.backend import default_interpret
+
+        if default_interpret():
+            out = attention(q, k, v)
+        else:
+            from vlfm_tpu.ops.attention import flash_attention
+
+            out = flash_attention(q, k, v)
         return nn.Dense(d, name="proj")(merge_heads(out))
 
 
