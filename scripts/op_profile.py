@@ -124,6 +124,29 @@ def main() -> None:
         text = m.encode_texts(jnp.ones((1, 16), jnp.int32), jnp.ones((1, 16), bool))
         rgb = jax.random.randint(jax.random.PRNGKey(0), (batch, 480, 640, 3), 0, 255, jnp.uint8)
         fn = lambda: m.cosine_cached_text(m.preprocess(rgb), text)
+    elif which == "gdino":
+        import numpy as np
+
+        from vlfm_tpu.models.grounding_dino import (
+            GroundingDinoDetector,
+            GroundingDinoJaxConfig,
+            text_phrase_masks,
+        )
+
+        cfg = GroundingDinoJaxConfig()
+        m = GroundingDinoDetector(cfg, None)
+        ids = np.full((1, 12), 5, np.int64)
+        ids[:, 0], ids[:, -1] = 101, 102
+        m3, pos = text_phrase_masks(ids)
+        m.params = PM.fast_params(
+            m.module.init,
+            jnp.zeros((1, 800, 800, 3)),
+            jnp.asarray(ids, jnp.int32), jnp.asarray(m3),
+            jnp.asarray(pos, jnp.int32), jnp.zeros((1, 12), bool))
+        imgs = jax.random.uniform(jax.random.PRNGKey(0), (batch, 800, 800, 3))
+        ids_b = np.tile(ids, (batch, 1))
+        am = np.ones((batch, 12), bool)
+        fn = lambda: m.predict(imgs, ids_b, am)[0]
     elif which == "owl":
         from vlfm_tpu.models.owl_vit import OwlViTDetConfig, OwlViTDetector
 

@@ -229,20 +229,26 @@ def _bilinear_sample_rows(value_l, grid, nh, dh):
     ="zeros" semantics, identical to the reference's F.grid_sample in
     multi_scale_deformable_attention, HF modeling_grounding_dino.py).
 
-    value_l: (B, H, W, nh*dh); grid: (B, nh, Q, P, 2) in [-1, 1] (x, y).
-    Returns (B, nh, Q, P, dh).
+    The table keeps heads MINOR ((B, HW', nh, 4*dh)) so no head-major
+    relayout of the value tensor is needed, and the gathered rows come out
+    in the (B, Q, nh, ...) layout the output projection consumes directly.
+
+    value_l: (B, H, W, nh*dh); grid: (B, Q, nh, P, 2) in [-1, 1] (x, y).
+    Returns (B, Q, nh, P, dh).
     """
     b, h, w, _ = value_l.shape
+    q, npts = grid.shape[1], grid.shape[3]
     pad = jnp.pad(value_l, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    pad = pad.reshape(b, h + 2, w + 2, nh, dh).transpose(0, 3, 1, 2, 4)
+    pad = pad.reshape(b, h + 2, w + 2, nh, dh)
     # patch table in tap order (dy, dx) = (0,0), (0,1), (1,0), (1,1)
-    P = jnp.concatenate(
+    P = jnp.stack(
         [
-            pad[:, :, :-1, :-1], pad[:, :, :-1, 1:],
-            pad[:, :, 1:, :-1], pad[:, :, 1:, 1:],
+            pad[:, :-1, :-1], pad[:, :-1, 1:],
+            pad[:, 1:, :-1], pad[:, 1:, 1:],
         ],
-        axis=-1,
-    ).reshape(b, nh, (h + 1) * (w + 1), 4 * dh)
+        axis=4,
+    )  # (B, H+1, W+1, nh, 4, dh)
+    P = P.reshape(b, (h + 1) * (w + 1), nh, 4 * dh)
 
     x = (grid[..., 0] + 1) * w / 2 - 0.5
     y = (grid[..., 1] + 1) * h / 2 - 0.5
@@ -252,11 +258,11 @@ def _bilinear_sample_rows(value_l, grid, nh, dh):
     dy = y - y0
     anchor = (
         (jnp.clip(y0, -1, h - 1) + 1) * (w + 1) + jnp.clip(x0, -1, w - 1) + 1
-    ).astype(jnp.int32)  # (B, nh, Q, P)
+    ).astype(jnp.int32)  # (B, Q, nh, P)
 
-    bq = anchor.reshape(b, nh, -1)
-    rows = jnp.take_along_axis(P, bq[..., None], axis=2)  # (B, nh, Q*P, 4*dh)
-    rows = rows.reshape(*anchor.shape, 4, dh)
+    idx = anchor.transpose(0, 1, 3, 2).reshape(b, q * npts, nh)
+    rows = jnp.take_along_axis(P, idx[..., None], axis=1)  # (B, Q*P, nh, 4*dh)
+    rows = rows.reshape(b, q, npts, nh, 4, dh)
 
     def inside(yy, xx):
         return (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
@@ -269,8 +275,8 @@ def _bilinear_sample_rows(value_l, grid, nh, dh):
             dx * dy * inside(y0 + 1, x0 + 1),
         ],
         axis=-1,
-    )  # (B, nh, Q, P, 4)
-    return jnp.einsum("bhqpt,bhqptd->bhqpd", wts, rows)
+    )  # (B, Q, nh, P, 4)
+    return jnp.einsum("bqhpt,bqphtd->bqhpd", wts, rows)
 
 
 class DeformableAttention(nn.Module):
@@ -313,13 +319,12 @@ class DeformableAttention(nn.Module):
         sampled = []
         for li, (ht, wd) in enumerate(spatial_shapes):
             v_l = value[:, start : start + ht * wd].reshape(b, ht, wd, nh * dh)
-            g_l = grids[:, :, :, li].transpose(0, 2, 1, 3, 4)  # (B, nh, Q, npts, 2)
-            s = _bilinear_sample_rows(v_l, g_l, nh, dh)  # (B, nh, Q, npts, dh)
+            g_l = grids[:, :, :, li]  # (B, Q, nh, npts, 2)
+            s = _bilinear_sample_rows(v_l, g_l, nh, dh)  # (B, Q, nh, npts, dh)
             sampled.append(s)
             start += ht * wd
-        samp = jnp.stack(sampled, axis=3)  # (B, nh, Q, nl, npts, dh)
-        wts = weights.transpose(0, 2, 1, 3, 4)  # (B, nh, Q, nl, npts)
-        out = jnp.einsum("bhqlpd,bhqlp->bqhd", samp, wts).reshape(b, q, d)
+        samp = jnp.stack(sampled, axis=3)  # (B, Q, nh, nl, npts, dh)
+        out = jnp.einsum("bqhlpd,bqhlp->bqhd", samp, weights).reshape(b, q, d)
         return nn.Dense(d, name="output_proj")(out)
 
 
