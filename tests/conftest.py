@@ -8,14 +8,31 @@ benchmarking happens in bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the profile's =axon: tests are pure CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# Deregister the axon TPU plugin outright: with it registered, backend
+# discovery (triggered by ANY jax.devices() call, even jax.devices("cpu"))
+# initializes the remote TPU client — pytest then shares the one-client-
+# at-a-time device with whatever bench is running, and if the device is
+# wedged the whole suite blocks 10-25 min before erroring UNAVAILABLE.
+# Unit tests must be pure CPU; real-TPU runs go through bench.py.
+try:  # noqa: SIM105
+    from jax._src import xla_bridge as _xb
+
+    for _reg in ("_backend_factories",):
+        getattr(_xb, _reg, {}).pop("axon", None)
+except Exception:
+    pass
+
 try:
+    # The env assignment above is too late if a pytest plugin imported jax
+    # before this conftest; the config route always works.
+    jax.config.update("jax_platforms", "cpu")
     _cpus = jax.devices("cpu")
     jax.config.update("jax_default_device", _cpus[0])
 except RuntimeError:
