@@ -238,9 +238,21 @@ def _bilinear_sample_rows(value_l, grid, nh, dh):
     """
     b, h, w, _ = value_l.shape
     q, npts = grid.shape[1], grid.shape[3]
+    P = _patch_table(value_l, nh, dh)
+    anchor, wts = _stencil_anchors(grid, h, w)
+
+    idx = anchor.transpose(0, 1, 3, 2).reshape(b, q * npts, nh)
+    rows = jnp.take_along_axis(P, idx[..., None], axis=1)  # (B, Q*P, nh, 4*dh)
+    rows = rows.reshape(b, q, npts, nh, 4, dh)
+    return jnp.einsum("bqhpt,bqphtd->bqhpd", wts, rows)
+
+
+def _patch_table(value_l, nh, dh):
+    """(B, H, W, nh*dh) -> (B, (H+1)(W+1), nh, 4*dh) zero-padded 2x2 stencils,
+    tap order (dy, dx) = (0,0), (0,1), (1,0), (1,1)."""
+    b, h, w, _ = value_l.shape
     pad = jnp.pad(value_l, ((0, 0), (1, 1), (1, 1), (0, 0)))
     pad = pad.reshape(b, h + 2, w + 2, nh, dh)
-    # patch table in tap order (dy, dx) = (0,0), (0,1), (1,0), (1,1)
     P = jnp.stack(
         [
             pad[:, :-1, :-1], pad[:, :-1, 1:],
@@ -248,8 +260,13 @@ def _bilinear_sample_rows(value_l, grid, nh, dh):
         ],
         axis=4,
     )  # (B, H+1, W+1, nh, 4, dh)
-    P = P.reshape(b, (h + 1) * (w + 1), nh, 4 * dh)
+    return P.reshape(b, (h + 1) * (w + 1), nh, 4 * dh)
 
+
+def _stencil_anchors(grid, h, w):
+    """grid (B, Q, nh, P, 2) in [-1, 1] -> (anchor (B, Q, nh, P) int32 row
+    index into the patch table, tap weights (B, Q, nh, P, 4) with
+    grid_sample padding_mode="zeros" masking)."""
     x = (grid[..., 0] + 1) * w / 2 - 0.5
     y = (grid[..., 1] + 1) * h / 2 - 0.5
     x0 = jnp.floor(x)
@@ -259,10 +276,6 @@ def _bilinear_sample_rows(value_l, grid, nh, dh):
     anchor = (
         (jnp.clip(y0, -1, h - 1) + 1) * (w + 1) + jnp.clip(x0, -1, w - 1) + 1
     ).astype(jnp.int32)  # (B, Q, nh, P)
-
-    idx = anchor.transpose(0, 1, 3, 2).reshape(b, q * npts, nh)
-    rows = jnp.take_along_axis(P, idx[..., None], axis=1)  # (B, Q*P, nh, 4*dh)
-    rows = rows.reshape(b, q, npts, nh, 4, dh)
 
     def inside(yy, xx):
         return (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
@@ -276,7 +289,7 @@ def _bilinear_sample_rows(value_l, grid, nh, dh):
         ],
         axis=-1,
     )  # (B, Q, nh, P, 4)
-    return jnp.einsum("bqhpt,bqphtd->bqhpd", wts, rows)
+    return anchor, wts
 
 
 class DeformableAttention(nn.Module):
@@ -315,17 +328,55 @@ class DeformableAttention(nn.Module):
             )
         grids = 2 * loc - 1  # (B, Q, nh, nl, npts, 2)
 
-        start = 0
-        sampled = []
-        for li, (ht, wd) in enumerate(spatial_shapes):
-            v_l = value[:, start : start + ht * wd].reshape(b, ht, wd, nh * dh)
-            g_l = grids[:, :, :, li]  # (B, Q, nh, npts, 2)
-            s = _bilinear_sample_rows(v_l, g_l, nh, dh)  # (B, Q, nh, npts, dh)
-            sampled.append(s)
-            start += ht * wd
-        samp = jnp.stack(sampled, axis=3)  # (B, Q, nh, nl, npts, dh)
-        out = jnp.einsum("bqhlpd,bqhlp->bqhd", samp, weights).reshape(b, q, d)
+        from vlfm_tpu.ops.backend import default_interpret
+
+        if default_interpret():
+            # CPU/parity path: explicit per-level sample + one combine einsum
+            start = 0
+            sampled = []
+            for li, (ht, wd) in enumerate(spatial_shapes):
+                v_l = value[:, start : start + ht * wd].reshape(b, ht, wd, nh * dh)
+                g_l = grids[:, :, :, li]  # (B, Q, nh, npts, 2)
+                s = _bilinear_sample_rows(v_l, g_l, nh, dh)  # (B, Q, nh, npts, dh)
+                sampled.append(s)
+                start += ht * wd
+            samp = jnp.stack(sampled, axis=3)  # (B, Q, nh, nl, npts, dh)
+            out = jnp.einsum("bqhlpd,bqhlp->bqhd", samp, weights).reshape(b, q, d)
+            return nn.Dense(d, name="output_proj")(out)
+
+        # TPU serving path: pallas gather+combine with the patch table
+        # VMEM-resident per (batch, head); attention weights fold into the
+        # tap weights so per-level outputs are plain accumulations and no
+        # query-major gathered tensor ever hits HBM (ops/deform_gather.py).
+        out = _deform_combine_levels(value, grids, weights, spatial_shapes, nh, dh)
+        out = out.astype(value.dtype).reshape(b, q, d)
         return nn.Dense(d, name="output_proj")(out)
+
+
+def _deform_combine_levels(
+    value, grids, weights, spatial_shapes, nh, dh,
+    *, interpret=None, force_pallas=False,
+):
+    """Per-level pallas gather+combine, summed over levels -> (B, Q, nh, dh).
+
+    value: (B, S, nh*dh) flattened multi-scale; grids: (B, Q, nh, nl, P, 2);
+    weights: (B, Q, nh, nl, P) softmaxed attention weights.
+    """
+    from vlfm_tpu.ops.deform_gather import gather_combine
+
+    b, q = grids.shape[:2]
+    start = 0
+    out = jnp.zeros((b, q, nh, dh), jnp.float32)
+    for li, (ht, wd) in enumerate(spatial_shapes):
+        v_l = value[:, start : start + ht * wd].reshape(b, ht, wd, nh * dh)
+        table = _patch_table(v_l, nh, dh)
+        anchor, taps = _stencil_anchors(grids[:, :, :, li], ht, wd)
+        w_l = taps * weights[:, :, :, li, :, None]  # (B, Q, nh, P, 4)
+        out = out + gather_combine(
+            table, anchor, w_l, interpret=interpret, force_pallas=force_pallas
+        )
+        start += ht * wd
+    return out
 
 
 # ---------------------------------------------------------------------------
