@@ -368,3 +368,80 @@ def test_reduce_values_v3_parity(ref, seed):
     )
     assert np.allclose(np.asarray(got), np.asarray(want))
     assert want == [0.5, 0.25]
+
+
+# ---------------------------------------------------------------------------
+# 6. ITMPolicy V1: FrontierMap caching/eviction/sort (frontier_map.py:25-77)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_frontier_map_v1_parity(ref, seed):
+    """Drive the reference FrontierMap (encode stubbed to the per-step
+    cosine) and vlfm_tpu's functional frontier map through the same random
+    appear/persist/vanish frontier sequences; the cached cosines and the
+    sort_waypoints order must match step for step. V1's
+    _sort_frontiers_by_value (itm_policy.py:241-247) is exactly
+    update+sort_waypoints, so this pins the V1 decision."""
+    import vlfm.mapping.frontier_map as ref_fm
+
+    from vlfm_tpu.mapping import frontier_map as fm
+
+    rng = np.random.default_rng(seed)
+    cap = 16
+
+    rfm = ref_fm.FrontierMap.__new__(ref_fm.FrontierMap)
+    rfm.frontiers = []
+    state = fm.create(cap)
+
+    # pool of distinct frontier positions on a coarse grid (tie-free sort:
+    # per-step cosines are strictly increasing so no two cached values tie)
+    pool = rng.permutation(64)[:20]
+    pool_xy = np.stack([pool % 8, pool // 8], axis=1).astype(np.float32)
+
+    active: list[int] = []
+    for t in range(25):
+        # mutate the active set: drop some, add some
+        active = [i for i in active if rng.random() > 0.3]
+        for i in rng.permutation(20)[: rng.integers(0, 3)]:
+            if i not in active and len(active) < cap:
+                active.append(int(i))
+        locs = [pool_xy[i] for i in active]
+        cosine = 0.1 + 0.01 * t  # strictly increasing, tie-free
+
+        rfm._encode = lambda img, text, c=cosine: c
+        rfm.update(list(locs), curr_image=None, text="x")
+
+        f = np.zeros((cap, 2), np.float32)
+        fv = np.zeros(cap, bool)
+        for j, xy in enumerate(locs):
+            f[j] = xy
+            fv[j] = True
+        need = bool(fm.needs_encoding(state, jnp.asarray(f), jnp.asarray(fv)))
+        state = fm.update(state, jnp.asarray(f), jnp.asarray(fv), jnp.float32(cosine))
+
+        # needs_encoding must mirror the reference's lazy-encode trigger
+        ref_new_added = any(
+            np.array_equal(fr.xyz, xy)
+            for fr in rfm.frontiers
+            for xy in locs
+            if abs(fr.cosine - cosine) < 1e-9
+        )
+        if locs:
+            assert need == ref_new_added, (t, need, ref_new_added)
+
+        ref_wps, ref_vals = rfm.sort_waypoints()
+        wps, vals, valid = fm.sort_waypoints(state)
+        wps = np.asarray(wps)[np.asarray(valid)]
+        vals = np.asarray(vals)[np.asarray(valid)]
+        assert len(ref_vals) == len(vals), (t, len(ref_vals), len(vals))
+        if len(vals):
+            np.testing.assert_allclose(vals, ref_vals, atol=1e-6)
+            # frontiers added in the same step share one cosine; order within
+            # such a tie group is unspecified on both sides (np.argsort is
+            # not stable) — canonicalize by (value, x, y) before comparing
+            def canon(w, v):
+                return w[np.lexsort((w[:, 1], w[:, 0], -np.asarray(v)))]
+            np.testing.assert_allclose(
+                canon(np.asarray(wps), vals),
+                canon(np.asarray(ref_wps, np.float32), ref_vals),
+                atol=1e-6,
+            )
