@@ -150,6 +150,22 @@ def _sync(x):
     return float(jax.device_get(jnp.sum(jnp.ravel(x)[:1].astype(jnp.float32))))
 
 
+def pipelined_ms(f, iters: int = 10, warm: int = 2) -> float:
+    """Steady-state ms per call: warm, then a pipelined loop with ONE forced
+    readback at the end. Single-shot wall times over the tunnel overstate
+    3-5x (dispatch+readback latency); this is the one timing pattern every
+    diagnostic script must use."""
+    out = None
+    for _ in range(warm):
+        out = f()
+    _sync(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = f()
+    _sync(out)
+    return 1e3 * (time.time() - t0) / iters
+
+
 def _policy_setup(cfg, spec, batch):
     import jax
     import jax.numpy as jnp
@@ -547,16 +563,13 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
     pointnav, _ = _policy_setup(cfg, spec, lanes // 2)
 
     env_cfg = FE.EnvConfig(max_steps=max_steps)
-    half = lanes // 2
 
-    # compile outside the timed farm: one batched perception call at the
-    # group shape warms every model program (the farm's policy step compiles
-    # on its first dispatch; a 2-step warmup farm absorbs that too)
+    # compile outside the timed farm: the 2-step warmup farm compiles the
+    # ONE fused dispatch program the measured farm runs (make_fused_step's
+    # per-(target, version) cache is shared across farms). Do NOT warm
+    # perception.batch here — the fused path never calls those separate
+    # per-model programs, so that would be minutes of dead compile.
     t0 = time.time()
-    rgb_w = np.random.default_rng(0).integers(
-        0, 255, (half, env_cfg.height, env_cfg.width, 3), np.uint8
-    )
-    _sync(perception.batch(rgb_w, "toilet")[2])
     sim_farm.run_episodes_farm(
         list(range(lanes)), lanes=lanes, pointnav=pointnav, spec=spec, cfg=cfg,
         plan_name="two_room_plan", env_cfg=env_cfg, workers=workers,

@@ -18,22 +18,12 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+from bench import _enable_compile_cache, pipelined_ms
+
+_enable_compile_cache()
+
 from vlfm_tpu.ops.deform_gather import gather_combine
 
-
-def _sync(x):
-    return float(jax.device_get(jnp.sum(jnp.ravel(x)[:1].astype(jnp.float32))))
-
-
-def pipelined_ms(f, iters=10, warm=2):
-    for _ in range(warm):
-        out = f()
-    _sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = f()
-    _sync(out)
-    return 1e3 * (time.time() - t0) / iters
 
 
 def xla_rows(table, anchor, w):

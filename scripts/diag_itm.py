@@ -12,7 +12,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from bench import _enable_compile_cache, _sync, fast_params
+from bench import _enable_compile_cache, _sync, fast_params, pipelined_ms
 
 _enable_compile_cache()
 
@@ -22,15 +22,6 @@ import jax.numpy as jnp
 from vlfm_tpu.models.blip2_itm import BLIP2ITM, BLIP2ITMConfig, BLIP2ITMModule
 
 
-def pipelined_ms(f, iters=10, warm=1):
-    for _ in range(warm):
-        out = f()
-    _sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = f()
-    _sync(out)
-    return round(1e3 * (time.time() - t0) / iters, 1)
 
 
 def main():

@@ -27,7 +27,8 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-from bench import _enable_compile_cache, _policy_setup, _sync, production_models
+from bench import (_enable_compile_cache, _policy_setup, _sync,
+                   pipelined_ms, production_models)
 
 _enable_compile_cache()
 
@@ -35,15 +36,6 @@ import jax
 import jax.numpy as jnp
 
 
-def pipelined_ms(f, iters=10, warm=2):
-    for _ in range(warm):
-        out = f()
-    _sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = f()
-    _sync(out)
-    return 1e3 * (time.time() - t0) / iters
 
 
 def main():

@@ -110,6 +110,7 @@ class MockHabitatEnv:
             # habitat gps negates y relative to the episodic frame
             "gps": np.array([o["robot_xy"][0], -o["robot_xy"][1]], np.float32),
             "compass": np.array([o["heading"]], np.float32),
+            "heading": np.array([o["heading"]], np.float32),
             "objectgoal": np.array([3], np.int64),  # toilet
         }
 

@@ -181,7 +181,7 @@ class FullStackPerception:
             cache = self._fused_cache = {}
         key = (target, version, id(pointnav), id(spec), id(cfg))
         if key in cache:
-            return cache[key]
+            return cache[key][0]
         from vlfm_tpu.policy import itm as policy_itm
         from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
@@ -241,13 +241,20 @@ class FullStackPerception:
             )
             return actions, infos.target_detected, infos.goal, gstate2
 
-        params3 = (self.itm.params, pipe.detector.params, pipe.sam.params)
-
         def call(gstate, fresh, reset_mask, depth, heading, xy, rgb, seeds, steps):
-            return fused(*params3, gstate, fresh, reset_mask,
-                         depth, heading, xy, rgb, seeds, steps)
+            # params read at CALL time (handles are cheap, ~4 ms for the
+            # 807-leaf BLIP2 tree): loading converted checkpoints into the
+            # model wrappers after a warmup must be served, not the weights
+            # frozen at first make_fused_step
+            return fused(
+                self.itm.params, pipe.detector.params, pipe.sam.params,
+                gstate, fresh, reset_mask, depth, heading, xy, rgb, seeds, steps,
+            )
 
-        cache[key] = call
+        # the cache entry pins (pointnav, spec, cfg) alive: the key uses
+        # their id()s (cfg/pointnav need not be hashable), and a live
+        # reference is what makes id() collision-free
+        cache[key] = (call, (pointnav, spec, cfg))
         return call
 
     def batch(self, rgb_b, target: str):

@@ -72,6 +72,10 @@ class FakeHabitatEnv:
             "depth": o["depth"][..., None],
             "gps": np.array([o["robot_xy"][0], -o["robot_xy"][1]], np.float32),
             "compass": np.array([o["heading"]], np.float32),
+            # the synthetic env's episodic frame IS the global frame, so the
+            # heading sensor coincides with the compass here; real habitat's
+            # compass is 0 at reset while heading carries the global yaw
+            "heading": np.array([o["heading"]], np.float32),
             "objectgoal": np.array(
                 [HM3D_NAME_TO_ID[self.current_episode.object_category]], np.int64
             ),
@@ -249,13 +253,16 @@ class HabitatEnvWrapper:
         depth = np.asarray(obs["depth"], np.float32)
         if depth.ndim == 2:
             depth = depth[..., None]
-        return {
+        out = {
             "rgb": np.asarray(obs["rgb"], np.uint8),
             "depth": depth,
             "gps": np.asarray(obs["gps"], np.float32)[:2],
             "compass": np.asarray(obs["compass"], np.float32).reshape(1),
             "objectgoal": np.asarray(obs["objectgoal"], np.int64).reshape(1),
         }
+        if "heading" in obs:  # global yaw (heading_sensor); start-yaw source
+            out["heading"] = np.asarray(obs["heading"], np.float32).reshape(1)
+        return out
 
     def get_metrics(self) -> Dict[str, Any]:
         m = self._env.get_metrics()
@@ -381,7 +388,11 @@ def evaluate(
 
         obs = env.reset()
         agent.reset()
-        start_yaw = float(np.asarray(obs.get("compass", [0.0])).reshape(-1)[0])
+        # GLOBAL heading sensor, like the reference's habitat_start_yaw
+        # (habitat_policies.py:236). The compass is episodic heading and is
+        # identically 0 at reset on real habitat — it must NOT be used here
+        # (envs without a heading sensor get 0.0, i.e. no reorientation).
+        start_yaw = float(np.asarray(obs.get("heading", [0.0])).reshape(-1)[0])
         target_detected = False
         while not env.episode_over:
             action = agent.act(obs)

@@ -123,17 +123,27 @@ def determine_failure_cause(
     return cause + ("_feasible" if feasible else "_likely_infeasible")
 
 
+def target_bbox_px(spec, target_xy, dilate_px: int = 10):
+    """Storage-layout (r0, r1, c0, c1) of the dilated target bbox — lets
+    callers slice just the relevant window out of a device-resident map
+    before pulling it to host (a 21x21 bool block instead of the full
+    ~1.8 MB storage grid over the tunnel)."""
+    import numpy as np
+
+    rc = np.asarray(spec.to_storage(spec.xy_to_px(np.asarray(target_xy, np.float32))))
+    r0 = max(int(rc[0]) - dilate_px, 0)
+    c0 = max(int(rc[1]) - dilate_px, 0)
+    return r0, int(rc[0]) + dilate_px + 1, c0, int(rc[1]) + dilate_px + 1
+
+
 def was_target_seen(explored_map, spec, target_xy, dilate_px: int = 10) -> bool:
     """Map-based 'seen' test: explored area overlaps the (dilated) target
     bbox (episode_stats_logger.py:75-81). ``explored_map`` is the policy's
     explored grid (storage layout), ``target_xy`` world meters."""
     import numpy as np
 
-    expl = np.asarray(explored_map)
-    rc = np.asarray(spec.to_storage(spec.xy_to_px(np.asarray(target_xy, np.float32))))
-    r0 = max(int(rc[0]) - dilate_px, 0)
-    c0 = max(int(rc[1]) - dilate_px, 0)
-    window = expl[r0 : int(rc[0]) + dilate_px + 1, c0 : int(rc[1]) + dilate_px + 1]
+    r0, r1, c0, c1 = target_bbox_px(spec, target_xy, dilate_px)
+    window = np.asarray(explored_map)[r0:r1, c0:c1]
     return bool(window.any())
 
 

@@ -425,21 +425,31 @@ def run_episodes_farm(
     def finalize_ready() -> None:
         # a result is final once the step that produced its last action has
         # been synced (detected flag complete); results always arrive after
-        # that sync, so flush unconditionally. The device state still holds
-        # the finished episode's maps: a lane reset only happens at the NEXT
-        # dispatch, and finalize runs before dispatch in every loop iteration.
+        # that sync. The device state still holds the finished episode's
+        # maps: a lane reset only happens at the NEXT dispatch, and finalize
+        # runs before dispatch in every loop iteration. A result whose group
+        # has an UN-synced inflight dispatch is deferred one iteration: the
+        # seen-map readback below depends on that dispatch's output state
+        # and would block the host mid-ping-pong.
+        deferred = []
         while pending_results:
             r = pending_results.pop(0)
             lane = r["lane"]
             li = lane_info[lane]
             g = 0 if lane < half else 1
             j = lane - g * half
+            if inflight[g] is not None:
+                deferred.append(r)
+                continue
             stairs, last_goal = li.closed.pop(r["seed"], (li.stairs, li.last_goal))
             detected = li.hist.get(r["seed"], False)
             # reference-form taxonomy inputs, identical to run_episode's
-            # (episode_stats_logger.py:44-111 analogues)
-            seen_map = M.was_target_seen(
-                np.asarray(gstate[g].obstacle.explored[j]), spec, r["target"]
+            # (episode_stats_logger.py:44-111 analogues). Slice the dilated
+            # target window ON DEVICE: ~441 bytes over the tunnel instead of
+            # the full 1.8 MB explored grid.
+            r0, r1, c0, c1 = M.target_bbox_px(spec, r["target"])
+            seen_map = bool(
+                np.asarray(gstate[g].obstacle.explored[j, r0:r1, c0:c1]).any()
             )
             fp = None
             if detected and last_goal is not None:
@@ -459,6 +469,7 @@ def run_episodes_farm(
                 traveled_stairs=stairs.traveled_stairs,
                 feasible=r["feasible"],
             )
+        pending_results.extend(deferred)
 
     def can_dispatch(g: int) -> bool:
         if inflight[g] is not None:
@@ -514,10 +525,17 @@ def run_episodes_farm(
                 reset_mask.append(li.needs_reset)
                 rngs.append(_step_key(li.seed, li.step) if li.pending is not None
                             else _step_key(0, 0))
-                cos.append(np.full((cfg.value_channels,), o["cosine"], np.float32))
-                if o["target_visible"]:
-                    masks_np[j, 0] = o["target_mask"]
-                    valid_np[j, 0] = True
+                if perception is None:
+                    # oracle cosine/mask path only; with a perception stack
+                    # these are overridden below AND o["target_mask"] is None
+                    # (unpacked with mask=False) — assigning it would be
+                    # silently coerced to all-False by numpy
+                    cos.append(
+                        np.full((cfg.value_channels,), o["cosine"], np.float32)
+                    )
+                    if o["target_visible"]:
+                        masks_np[j, 0] = o["target_mask"]
+                        valid_np[j, 0] = True
                 if want_rgb:
                     rgb_rows.append(o["rgb"])
                 meta.append((lane, li.seed, li.step, li.pending is not None))
