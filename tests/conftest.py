@@ -51,6 +51,7 @@ def cpu_devices():
 # ---------------------------------------------------------------------------
 SLOW_FILES = {
     "test_blip2.py",
+    "test_weights_bundle.py",
     "test_checkpoint_and_batched.py",
     "test_detection_pipeline.py",
     "test_farm_full_stack.py",

@@ -36,6 +36,12 @@ def main() -> None:
     p.add_argument("--farm-workers", type=int, default=2)
     p.add_argument("--pointnav-weights", default=None, help="torch .pth to convert")
     p.add_argument(
+        "--weights-dir", default=None,
+        help="serving bundle from scripts/convert_checkpoints.py (real "
+        "BLIP2-ITM/OWL-ViT/MobileSAM weights + vocab); default is tiny "
+        "random models",
+    )
+    p.add_argument(
         "--habitat-config", default=None,
         help="habitat backend: habitat-lab config path (defaults to the "
         "benchmark ObjectNav HM3D config)",
@@ -77,11 +83,18 @@ def main() -> None:
         # fully covered by tests over FakeHabitatEnv); only the env
         # construction needs habitat-lab and fails at `import habitat`.
         from vlfm_tpu.adapters.habitat import HabitatVLFMAgent
-        from vlfm_tpu.runner.full_stack import FullStackPerception
         from vlfm_tpu.runner.habitat_eval import evaluate, make_habitat_env
 
+        if args.weights_dir:
+            from vlfm_tpu.runner.weights import full_stack_from_bundle
+
+            perception = full_stack_from_bundle(cfg, args.weights_dir)
+        else:
+            from vlfm_tpu.runner.full_stack import FullStackPerception
+
+            perception = FullStackPerception(cfg)
         agent = HabitatVLFMAgent(
-            cfg, spec, pointnav, FullStackPerception(cfg), version=args.version
+            cfg, spec, pointnav, perception, version=args.version
         )
         # One habitat.Env for the whole run; advance() moves it to the next
         # episode so the loop can claim by episode id before reset.
@@ -117,11 +130,18 @@ def main() -> None:
     if args.farm:
         from vlfm_tpu.runner.sim_farm import run_episodes_farm
 
+        perception = None
+        if args.weights_dir:
+            # real model stack over streamed synthetic RGBD — the full
+            # serving configuration from the CLI
+            from vlfm_tpu.runner.weights import full_stack_from_bundle
+
+            perception = full_stack_from_bundle(cfg, args.weights_dir)
         results_map, stats = run_episodes_farm(
             list(range(args.episodes)), lanes=args.farm, pointnav=pointnav,
             spec=spec, cfg=cfg, plan_name="two_room_plan", env_cfg=env_cfg,
             workers=args.farm_workers, version=args.version,
-            max_steps=args.max_steps,
+            max_steps=args.max_steps, perception=perception,
         )
         results = [results_map[s] for s in sorted(results_map)]
         print(

@@ -90,10 +90,14 @@ class FullStackPerception:
             itm=self.itm, tokenizer=self.tokenizer, text_prompt=cfg.text_prompt
         )
 
+        det_vocab = detector.cfg.text.vocab_size
+
         def encode_queries(names):
             ids, mask = self.tokenizer.encode_batch(names)
-            # clamp into the tiny detector vocabs
-            return ids % 99 + 1, mask
+            if det_vocab < 1000:
+                # toy test configs: fold real ids into the tiny vocab
+                ids = ids % (det_vocab - 1) + 1
+            return ids, mask
 
         coco = CocoDetector(
             detector, encode_queries,
