@@ -44,6 +44,9 @@ def main() -> None:
     p.add_argument("--blip2-itm", help="Salesforce/blip2-itm-vit-g state dict")
     p.add_argument("--owl-vit", help="google/owlvit-base-patch32 state dict")
     p.add_argument("--mobile-sam", help="mobile_sam.pt (TinyViT encoder)")
+    p.add_argument("--grounding-dino", help="IDEA grounding-dino-tiny/base state dict")
+    p.add_argument("--zoedepth", help="Intel/zoedepth-nyu(-kitti) state dict")
+    p.add_argument("--blip2-t5", help="Salesforce/blip2-flan-t5-xl state dict (VQA veto)")
     p.add_argument("--vocab", help="BERT WordPiece vocab.txt")
     p.add_argument("--f32", action="store_true",
                    help="skip the bf16 serving cast (CPU parity work)")
@@ -80,8 +83,40 @@ def main() -> None:
         sam = SAM(cfg, cast_for_serving(params, dtype) if dtype else params)
         print("converted MobileSAM")
 
+    gdino = zoe = vqa = None
+    if args.grounding_dino:
+        from vlfm_tpu.models.grounding_dino import (
+            GroundingDinoDetector, GroundingDinoJaxConfig, convert_hf_grounding_dino)
+
+        cfg = GroundingDinoJaxConfig()
+        params = convert_hf_grounding_dino(_load_sd(args.grounding_dino), cfg)
+        gdino = GroundingDinoDetector(
+            cfg, cast_for_serving(params, dtype) if dtype else params
+        )
+        print("converted GroundingDINO")
+    if args.zoedepth:
+        from vlfm_tpu.models.zoedepth import (
+            ZoeDepth, ZoeDepthJaxConfig, convert_hf_zoedepth)
+
+        cfg = ZoeDepthJaxConfig()
+        params = convert_hf_zoedepth(_load_sd(args.zoedepth), cfg)
+        # depth regression is precision-sensitive; keep checkpoint f32
+        zoe = ZoeDepth(cfg, params)
+        print("converted ZoeDepth")
+    if args.blip2_t5:
+        from vlfm_tpu.models.blip2_vqa import BLIP2VQAConfig, load_blip2_vqa
+
+        vqa = load_blip2_vqa(_load_sd(args.blip2_t5), BLIP2VQAConfig())
+        if dtype:
+            from vlfm_tpu.models.t5_vqa import T5VQA
+
+            vqa.params = cast_for_serving(vqa.params, dtype)
+            vqa.t5 = T5VQA(vqa.t5.cfg, cast_for_serving(vqa.t5.params, dtype))
+        print("converted BLIP2-T5 VQA")
+
     out = save_bundle(
-        args.out, itm=itm, detector=detector, sam=sam, vocab_file=args.vocab
+        args.out, itm=itm, detector=detector, sam=sam, gdino=gdino,
+        zoedepth=zoe, vqa=vqa, vocab_file=args.vocab,
     )
     print("bundle saved:", out)
 

@@ -76,3 +76,33 @@ def test_full_stack_from_bundle_runs(bundle):
     cos, masks, valid = fsp.batch(rgb, "toilet")
     assert cos.shape[0] == 2 and masks.shape[0] == 2 and valid.shape[0] == 2
     assert np.isfinite(np.asarray(cos)).all()
+
+
+def test_gdino_zoedepth_vqa_roundtrip(tmp_path):
+    import numpy as _np
+
+    from vlfm_tpu.models.blip2_vqa import BLIP2VQA, BLIP2VQAConfig
+    from vlfm_tpu.models.grounding_dino import (
+        GroundingDinoDetector, GroundingDinoJaxConfig)
+    from vlfm_tpu.models.zoedepth import ZoeDepth
+
+    gd = GroundingDinoDetector.init_random(
+        GroundingDinoJaxConfig.tiny_test(), seed=0)
+    zd = ZoeDepth.init_random(seed=1)
+    vq = BLIP2VQA.init_random(BLIP2VQAConfig.tiny(), seed=2)
+    path = save_bundle(str(tmp_path / "b2"), gdino=gd, zoedepth=zd, vqa=vq)
+    b = load_bundle(path)
+    assert b.gdino.cfg == gd.cfg
+    assert b.zoedepth.cfg == zd.cfg
+    assert b.vqa.cfg == vq.cfg
+    for src, got in ((gd, b.gdino), (zd, b.zoedepth), (vq, b.vqa),
+                     (vq.t5, b.vqa.t5)):
+        la = jax.tree_util.tree_leaves(src.params)
+        lb = jax.tree_util.tree_leaves(got.params)
+        assert len(la) == len(lb)
+        for a, c in zip(la, lb):
+            _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(c))
+    # zoedepth serves through the monodepth contract
+    rgb = _np.random.default_rng(0).integers(0, 255, (1, 24, 32, 3), _np.uint8)
+    d = b.zoedepth.infer_depth(jnp.asarray(rgb), 0.0, 5.0)
+    assert d.shape == (1, 24, 32) and bool(jnp.isfinite(d).all())

@@ -78,30 +78,24 @@ def _cfg_from_dict(d: Any, registry: Dict[str, type]) -> Any:
 
 
 def _config_registry() -> Dict[str, type]:
-    from vlfm_tpu.models.blip2_itm import BLIP2ITMConfig
-    from vlfm_tpu.models.owl_vit import OwlViTDetConfig
-    from vlfm_tpu.models.qformer import QFormerConfig
-    from vlfm_tpu.models.sam import SamConfig
-    from vlfm_tpu.models.tinyvit import TinyViTConfig
-    from vlfm_tpu.models.vit import ViTConfig
+    """Every dataclass config type reachable from the bundled model families."""
+    import importlib
 
-    reg = {}
-    for cls in (BLIP2ITMConfig, OwlViTDetConfig, SamConfig, TinyViTConfig,
-                ViTConfig, QFormerConfig):
-        reg[cls.__name__] = cls
-    # OWL-ViT nests its own vision/text configs
-    import vlfm_tpu.models.owl_vit as owl
-
-    for name in dir(owl):
-        obj = getattr(owl, name)
-        if dataclasses.is_dataclass(obj) and isinstance(obj, type):
-            reg[name] = obj
-    import vlfm_tpu.models.sam as sam_mod
-
-    for name in dir(sam_mod):
-        obj = getattr(sam_mod, name)
-        if dataclasses.is_dataclass(obj) and isinstance(obj, type):
-            reg[name] = obj
+    mods = [
+        "vlfm_tpu.models.blip2_itm", "vlfm_tpu.models.owl_vit",
+        "vlfm_tpu.models.sam", "vlfm_tpu.models.tinyvit",
+        "vlfm_tpu.models.vit", "vlfm_tpu.models.qformer",
+        "vlfm_tpu.models.grounding_dino", "vlfm_tpu.models.swin",
+        "vlfm_tpu.models.zoedepth", "vlfm_tpu.models.blip2_vqa",
+        "vlfm_tpu.models.t5_vqa",
+    ]
+    reg: Dict[str, type] = {}
+    for m in mods:
+        mod = importlib.import_module(m)
+        for name in dir(mod):
+            obj = getattr(mod, name)
+            if dataclasses.is_dataclass(obj) and isinstance(obj, type):
+                reg[name] = obj
     return reg
 
 
@@ -111,19 +105,28 @@ def save_bundle(
     itm=None,
     detector=None,
     sam=None,
+    gdino=None,
+    zoedepth=None,
+    vqa=None,  # models/blip2_vqa.BLIP2VQA (bridge + t5 saved together)
     vocab_file: Optional[str] = None,
 ) -> str:
-    """Save model wrappers (BLIP2ITM / OwlViTDetector / SAM) as a bundle."""
+    """Save model wrappers as a serving bundle (all entries optional)."""
     from vlfm_tpu.runner.checkpoint import save_pytree
 
     p = Path(path).absolute()
     p.mkdir(parents=True, exist_ok=True)
     manifest: Dict[str, Any] = {"models": {}}
-    for name, model in (("itm", itm), ("detector", detector), ("sam", sam)):
+    entries = [("itm", itm), ("detector", detector), ("sam", sam),
+               ("gdino", gdino), ("zoedepth", zoedepth)]
+    for name, model in entries:
         if model is None:
             continue
         save_pytree(str(p / name), model.params)
         manifest["models"][name] = _cfg_to_dict(model.cfg)
+    if vqa is not None:
+        save_pytree(str(p / "vqa_bridge"), vqa.params)
+        save_pytree(str(p / "vqa_t5"), vqa.t5.params)
+        manifest["models"]["vqa"] = _cfg_to_dict(vqa.cfg)
     if vocab_file:
         import shutil
 
@@ -149,9 +152,21 @@ def load_bundle(path: str, dtype=None) -> SimpleNamespace:
     reg = _config_registry()
     ck = ocp.StandardCheckpointer()
     out: Dict[str, Any] = {"itm": None, "detector": None, "sam": None,
+                           "gdino": None, "zoedepth": None, "vqa": None,
                            "tokenizer": None}
     for name, cfg_d in manifest["models"].items():
         cfg = _cfg_from_dict(cfg_d, reg)
+        if name == "vqa":
+            from vlfm_tpu.models.blip2_vqa import BLIP2VQA
+            from vlfm_tpu.models.t5_vqa import T5VQA
+
+            bridge = ck.restore(p / "vqa_bridge")
+            t5p = ck.restore(p / "vqa_t5")
+            if dtype is not None:
+                bridge = cast_for_serving(bridge, dtype)
+                t5p = cast_for_serving(t5p, dtype)
+            out[name] = BLIP2VQA(cfg, bridge, T5VQA(cfg.t5, t5p))
+            continue
         params = ck.restore(p / name)
         if dtype is not None:
             params = cast_for_serving(params, dtype)
@@ -167,6 +182,14 @@ def load_bundle(path: str, dtype=None) -> SimpleNamespace:
             from vlfm_tpu.models.sam import SAM
 
             out[name] = SAM(cfg, params)
+        elif name == "gdino":
+            from vlfm_tpu.models.grounding_dino import GroundingDinoDetector
+
+            out[name] = GroundingDinoDetector(cfg, params)
+        elif name == "zoedepth":
+            from vlfm_tpu.models.zoedepth import ZoeDepth
+
+            out[name] = ZoeDepth(cfg, params)
     if manifest.get("vocab") and (p / manifest["vocab"]).exists():
         from vlfm_tpu.models.tokenizer import WordPieceTokenizer
 
@@ -182,7 +205,8 @@ def full_stack_from_bundle(cfg, bundle_dir: str, dtype=None):
 
     b = load_bundle(bundle_dir, dtype=dtype)
     fsp = FullStackPerception(
-        cfg, itm=b.itm, detector=b.detector, sam=b.sam
+        cfg, itm=b.itm, detector=b.detector, sam=b.sam,
+        blip2_vqa=b.vqa, monodepth=b.zoedepth,
     )
     if b.tokenizer is not None:
         # sequences must fit the detector text tower's position table (16
