@@ -6,7 +6,8 @@ Production encoder shapes (800-px GroundingDino): levels (100,100), (50,50),
     python scripts/bench_deform.py [batch] [tile_q]
 
 Prints per-level and total ms/batch for both paths plus the projected
-imgs/s. Uses random tables/anchors (the access pattern, not the values,
+imgs/s. (`VLFM_DEFORM_KERNEL=0` makes the model's TPU path fall back to
+the XLA rows gather if Mosaic rejects the kernel.) Uses random tables/anchors (the access pattern, not the values,
 determines cost).
 """
 

@@ -328,9 +328,11 @@ class DeformableAttention(nn.Module):
             )
         grids = 2 * loc - 1  # (B, Q, nh, nl, npts, 2)
 
+        import os
+
         from vlfm_tpu.ops.backend import default_interpret
 
-        if default_interpret():
+        if default_interpret() or os.environ.get("VLFM_DEFORM_KERNEL") == "0":
             # CPU/parity path: explicit per-level sample + one combine einsum
             start = 0
             sampled = []
