@@ -574,15 +574,20 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
         list(range(lanes)), lanes=lanes, pointnav=pointnav, spec=spec, cfg=cfg,
         plan_name="two_room_plan", env_cfg=env_cfg, workers=workers,
         max_steps=2, ring_prefix="vlfm_bench_warm", perception=perception,
+        depth_u16=True,
     )
     warm_s = round(time.time() - t0, 1)
 
+    # u16 depth transport: the largest share of per-step host->device bytes
+    # at 1.5e-5 quantization (parity suites pin the exact-f32 configuration)
     results, stats = sim_farm.run_episodes_farm(
         [100 + s for s in range(lanes)], lanes=lanes, pointnav=pointnav,
         spec=spec, cfg=cfg, plan_name="two_room_plan", env_cfg=env_cfg,
         workers=workers, ring_prefix="vlfm_bench_farm", perception=perception,
+        depth_u16=True,
     )
-    obs_bytes = sim_farm.obs_slot_bytes(env_cfg.height, env_cfg.width, rgb=True)
+    obs_bytes = sim_farm.obs_slot_bytes(
+        env_cfg.height, env_cfg.width, rgb=True, depth_u16=True)
     extras = {
         "streamed_env_steps": stats.env_steps,
         "streamed_warmup_s": warm_s,

@@ -124,3 +124,33 @@ def test_farm_more_workers_than_lanes():
         ring_prefix="vlfm_test_farm_wl",
     )
     assert set(farm) == set(seeds)
+
+
+def test_obs_record_roundtrip_depth_u16():
+    env = FakeObjectNavEnv(open_room_plan(seed=3), ENV)
+    o = env.reset()
+    rec = sim_farm.pack_obs(lane=1, seed=3, step=0, o=o, depth_u16=True)
+    assert len(rec) <= sim_farm.obs_slot_bytes(ENV.height, ENV.width, depth_u16=True)
+    assert (
+        sim_farm.obs_slot_bytes(ENV.height, ENV.width, depth_u16=True)
+        < sim_farm.obs_slot_bytes(ENV.height, ENV.width)
+    )
+    back = sim_farm.unpack_obs(rec, ENV.height, ENV.width, depth_u16=True)
+    assert back["depth"].dtype == np.uint16
+    deq = back["depth"].astype(np.float32) / 65535.0
+    err = np.abs(deq - np.asarray(o["depth"], np.float32)).max()
+    assert err <= 0.5 / 65535.0 + 1e-7, err
+
+
+@needs_native
+def test_farm_depth_u16_runs_episodes():
+    """Quantized transport completes episodes with the oracle policy path
+    (the exact-f32 configuration stays the parity-pinned default)."""
+    farm, stats = sim_farm.run_episodes_farm(
+        list(range(4)), lanes=4, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        ring_prefix="u16farm", depth_u16=True,
+    )
+    assert len(farm) == 4
+    assert stats.env_steps > 0
+    assert all(r.steps > 0 for r in farm.values())

@@ -202,6 +202,10 @@ class FullStackPerception:
         @jax.jit
         def fused(itm_p, det_p, sam_p, gstate, fresh, reset_mask,
                   depth, heading, xy, rgb, seeds, steps):
+            if depth.dtype == jnp.uint16:
+                # u16 transport (sim_farm depth_u16): dequantize on device
+                depth = depth.astype(jnp.float32) * (1.0 / 65535.0)
+
             def sel(b, f):
                 m = reset_mask.reshape((-1,) + (1,) * (b.ndim - 1))
                 return jnp.where(m, f, b)

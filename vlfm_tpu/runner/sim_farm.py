@@ -28,8 +28,11 @@ explored map and runs the nav-goal false-positive test against the last goal
 it observed at sync time (episode_stats_logger.py:44-111 analogues, identical
 inputs to run_episode / run_episodes_recycled).
 
-Workers never import jax; the records carry f32 depth so device inputs are
-bit-identical to the in-process path.
+Workers never import jax; by default the records carry f32 depth so device
+inputs are bit-identical to the in-process path. ``depth_u16=True`` ships
+normalized depth as u16 (1.5e-5 quantization, dequantized inside the fused
+device program) — an opt-in transport compression for bandwidth-limited
+host links; the equality-pinned parity suites run with f32.
 """
 
 from __future__ import annotations
@@ -60,12 +63,18 @@ FLAG_DONE = 1
 FLAG_TARGET_VISIBLE = 2
 
 
-def obs_slot_bytes(height: int, width: int, rgb: bool = False) -> int:
-    base = _OBS_HEAD.size + 4 * height * width + (height * width + 7) // 8
+def obs_slot_bytes(
+    height: int, width: int, rgb: bool = False, depth_u16: bool = False
+) -> int:
+    base = _OBS_HEAD.size + (2 if depth_u16 else 4) * height * width
+    base += (height * width + 7) // 8
     return base + (3 * height * width if rgb else 0)
 
 
-def pack_obs(lane: int, seed: int, step: int, o: dict, rgb: bool = False) -> bytes:
+def pack_obs(
+    lane: int, seed: int, step: int, o: dict, rgb: bool = False,
+    depth_u16: bool = False,
+) -> bytes:
     flags = (FLAG_DONE if o["done"] else 0) | (
         FLAG_TARGET_VISIBLE if o["target_visible"] else 0
     )
@@ -75,7 +84,14 @@ def pack_obs(lane: int, seed: int, step: int, o: dict, rgb: bool = False) -> byt
         float(o["distance_to_goal"]), float(o["cosine"]),
         float(o.get("agent_z", 0.0)),
     )
-    depth = np.ascontiguousarray(o["depth"], np.float32).tobytes()
+    if depth_u16:
+        # normalized [0, 1] depth as u16: 1.5e-5 quantization, 2 bytes/px —
+        # halves the dominant share of per-step host->device traffic on
+        # bandwidth-limited links; dequantized IN the fused device program
+        d = np.asarray(o["depth"], np.float32)
+        depth = (np.clip(d, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16).tobytes()
+    else:
+        depth = np.ascontiguousarray(o["depth"], np.float32).tobytes()
     mask = np.packbits(np.asarray(o["target_mask"], bool)).tobytes()
     if rgb:
         return head + depth + mask + np.ascontiguousarray(o["rgb"], np.uint8).tobytes()
@@ -83,7 +99,8 @@ def pack_obs(lane: int, seed: int, step: int, o: dict, rgb: bool = False) -> byt
 
 
 def unpack_obs(
-    payload: bytes, height: int, width: int, rgb: bool = False, mask: bool = True
+    payload: bytes, height: int, width: int, rgb: bool = False, mask: bool = True,
+    depth_u16: bool = False,
 ) -> dict:
     """``mask=False`` skips the target-mask unpackbits — the perception
     (model-based) farm path never reads it, and on a 1-core host the per-
@@ -92,8 +109,17 @@ def unpack_obs(
      agent_z) = _OBS_HEAD.unpack_from(payload, 0)
     assert kind == KIND_OBS
     off = _OBS_HEAD.size
-    depth = np.frombuffer(payload, np.float32, height * width, off).reshape(height, width)
-    off += 4 * height * width
+    if depth_u16:
+        # returned RAW (u16): the fused path ships it to the device as-is
+        depth = np.frombuffer(payload, np.uint16, height * width, off).reshape(
+            height, width
+        )
+        off += 2 * height * width
+    else:
+        depth = np.frombuffer(payload, np.float32, height * width, off).reshape(
+            height, width
+        )
+        off += 4 * height * width
     nbits = (height * width + 7) // 8
     target_mask = None
     if mask:
@@ -145,6 +171,7 @@ def worker_main(
     env_cfg: "FE.EnvConfig",
     max_steps: int,
     want_rgb: bool = False,
+    depth_u16: bool = False,
 ) -> None:
     """Sim worker process: owns ``lane_ids``, drains its private seed queue.
 
@@ -181,7 +208,7 @@ def worker_main(
         shortest[lane] = envs[lane].shortest_path_length()
         o = envs[lane].reset()
         seen[lane] = bool(o["target_visible"])
-        t = obs_ring.push(pack_obs(lane, s, 0, o, rgb=want_rgb))
+        t = obs_ring.push(pack_obs(lane, s, 0, o, rgb=want_rgb, depth_u16=depth_u16))
         dbg("pushed initial obs", "lane", lane, "seed", s, "ticket", t)
         active.add(lane)
 
@@ -212,7 +239,9 @@ def worker_main(
                     start_episode(lane)
             else:
                 seen[lane] = seen[lane] or bool(o["target_visible"])
-                obs_ring.push(pack_obs(lane, seed, steps[lane], o, rgb=want_rgb))
+                obs_ring.push(
+                    pack_obs(lane, seed, steps[lane], o, rgb=want_rgb,
+                             depth_u16=depth_u16))
 
 
 @dataclass
@@ -265,6 +294,7 @@ def run_episodes_farm(
     ring_prefix: str = "vlfm_farm",
     perception=None,
     target: str = "toilet",
+    depth_u16: bool = False,
 ):
     """Drive ``lanes`` episode lanes fed by ``workers`` sim processes.
 
@@ -300,7 +330,7 @@ def run_episodes_farm(
     want_rgb = perception is not None
     obs_ring = ObservationRing.create(
         f"{ring_prefix}_obs",
-        slot_bytes=obs_slot_bytes(h, w, rgb=want_rgb),
+        slot_bytes=obs_slot_bytes(h, w, rgb=want_rgb, depth_u16=depth_u16),
         n_slots=4 * lanes + 16,
     )
     act_ring = ObservationRing.create(
@@ -344,7 +374,7 @@ def run_episodes_farm(
                 args=(
                     f"{ring_prefix}_obs", f"{ring_prefix}_act",
                     [int(x) for x in lane_spans[wi]], seed_splits[wi],
-                    plan_name, env_cfg, limit, want_rgb,
+                    plan_name, env_cfg, limit, want_rgb, depth_u16,
                 ),
                 daemon=True,
             )
@@ -410,7 +440,12 @@ def run_episodes_farm(
                     target_radius=t_radius, feasible=bool(feasible),
                 ))
             else:
-                o = unpack_obs(payload, h, w, rgb=want_rgb, mask=perception is None)
+                o = unpack_obs(payload, h, w, rgb=want_rgb,
+                               mask=perception is None, depth_u16=depth_u16)
+                if depth_u16 and fused is None:
+                    # only the fused program dequantizes on device; host-side
+                    # consumers need f32
+                    o["depth"] = o["depth"].astype(np.float32) / 65535.0
                 li = lane_info[o["lane"]]
                 if o["seed"] != li.seed:  # recycled: new episode on this lane
                     # stash the finished episode's taxonomy accumulators — its
@@ -486,7 +521,8 @@ def run_episodes_farm(
             # ONE jitted call: numpy batches in, (actions, detected, goals,
             # state') out. device_put is async on this backend, so the h->d
             # transfer of one group overlaps the other group's device time.
-            depth_b = np.empty((half, h, w), np.float32)
+            depth_b = np.empty((half, h, w),
+                               np.uint16 if depth_u16 else np.float32)
             rgb_b = np.empty((half, h, w, 3), np.uint8)
             heading_b = np.empty((half,), np.float32)
             xy_b = np.empty((half, 2), np.float32)
