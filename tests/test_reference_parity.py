@@ -378,3 +378,77 @@ def test_obstacle_map_update_parity(ref):
 
     frac = (nav ^ ref_nav).mean()
     assert frac < 0.01, f"navigable maps differ on {frac:.4%} of pixels"
+
+
+# ---------------------------------------------------------------------------
+# img_utils display helpers (host-side compositing surface)
+# ---------------------------------------------------------------------------
+def test_display_helpers_match_reference(ref):
+    from vlfm_tpu.utils import visualization as V
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    img[:4], img[-6:], img[:, :3], img[:, -2:] = 255, 255, 255, 255  # white border
+
+    np.testing.assert_array_equal(
+        V.crop_white_border(img.copy()), ref.iu.crop_white_border(img.copy())
+    )
+    np.testing.assert_array_equal(
+        V.pad_to_square(img.copy(), extra_pad=7),
+        ref.iu.pad_to_square(img.copy(), extra_pad=7),
+    )
+    np.testing.assert_array_equal(
+        V.pad_larger_dim(img.copy(), 150), ref.iu.pad_larger_dim(img.copy(), 150)
+    )
+    np.testing.assert_array_equal(
+        V.reorient_rescale_map(img.copy()), ref.iu.reorient_rescale_map(img.copy())
+    )
+
+    base = np.zeros((64, 64, 3), np.uint8)
+    small = rng.integers(0, 255, (10, 12, 3), np.uint8)
+    np.testing.assert_array_equal(
+        V.place_img_in_img(base.copy(), small, 5, 60),
+        ref.iu.place_img_in_img(base.copy(), small, 5, 60),
+    )
+
+    mono = rng.random((24, 24)).astype(np.float32)
+    np.testing.assert_array_equal(
+        V.monochannel_to_inferno_rgb(mono), ref.iu.monochannel_to_inferno_rgb(mono)
+    )
+
+    imgs = [rng.integers(0, 255, (h, w, 3), np.uint8)
+            for h, w in ((20, 30), (35, 25), (28, 28))]
+    for a, b in zip(
+        V.resize_images([i.copy() for i in imgs]),
+        ref.iu.resize_images([i.copy() for i in imgs]),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    blob = np.zeros((40, 40), np.uint8)
+    blob[2:5, 2:5] = 255    # small blob (area < 9 by contourArea)
+    blob[10:30, 10:30] = 255  # large blob
+    np.testing.assert_array_equal(
+        V.remove_small_blobs(blob.copy(), 9), ref.iu.remove_small_blobs(blob.copy(), 9)
+    )
+
+    d = rng.random((33, 44)).astype(np.float32)
+    np.testing.assert_array_equal(
+        V.median_blur_normalized_depth_image(d, 5),
+        ref.iu.median_blur_normalized_depth_image(d, 5),
+    )
+
+
+def test_convert_to_global_frame_matches_reference(ref):
+    from vlfm_tpu.utils.geometry import convert_to_global_frame
+
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        pos = rng.normal(size=3)
+        yaw = rng.uniform(-np.pi, np.pi)
+        local = rng.normal(size=3)
+        np.testing.assert_allclose(
+            np.asarray(convert_to_global_frame(jnp.asarray(pos, jnp.float32),
+                                               yaw, jnp.asarray(local, jnp.float32))),
+            ref.gu.convert_to_global_frame(pos, yaw, local),
+            atol=1e-5,
+        )

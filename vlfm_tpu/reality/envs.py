@@ -51,9 +51,19 @@ class PointNavEnv:
         self.goal = np.zeros(2, np.float32)
         self._boot_tf = None
 
-    def reset(self, goal_xy: np.ndarray) -> Dict[str, Any]:
-        self.goal = np.asarray(goal_xy, np.float32)
+    def reset(self, goal_xy: np.ndarray, relative: bool = True) -> Dict[str, Any]:
+        """``relative=True`` (the reference default): the goal arrives in the
+        ROBOT frame and is transformed to global before storing
+        (reality/pointnav_env.py:45-52 via convert_to_global_frame)."""
+        goal = np.asarray(goal_xy, np.float32)
         xy, yaw = self.robot.xy_yaw
+        if relative:
+            c, s = np.cos(yaw), np.sin(yaw)
+            goal = np.asarray(
+                [xy[0] + c * goal[0] - s * goal[1],
+                 xy[1] + s * goal[0] + c * goal[1]], np.float32
+            )
+        self.goal = goal
         self._boot = (xy.copy(), yaw)
         return self.observe()
 

@@ -149,3 +149,15 @@ def calculate_vfov(hfov: float, width: int, height: int) -> float:
 def focal_length_from_fov(fov_rad: float, image_width: int) -> float:
     """fx = W / (2 tan(fov/2)) — matches habitat adapter intrinsics."""
     return image_width / (2 * math.tan(fov_rad / 2))
+
+
+def convert_to_global_frame(
+    agent_pos: jnp.ndarray, agent_yaw, local_pos: jnp.ndarray
+) -> jnp.ndarray:
+    """Agent-local 3D position -> global frame
+    (geometry_utils.convert_to_global_frame:119-143; used by the reality
+    PointNavEnv's relative-goal reset, reality/pointnav_env.py:45-52)."""
+    tf = xyz_yaw_to_tf_matrix(agent_pos, jnp.asarray(agent_yaw, jnp.float32))
+    hom = jnp.concatenate([jnp.asarray(local_pos, jnp.float32), jnp.ones(1)])
+    out = tf @ hom
+    return out[:3] / out[3]

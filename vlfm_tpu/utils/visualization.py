@@ -196,3 +196,136 @@ def compose_frame(
     for t in texts:
         frame = add_text_to_image(frame, t, top=False)
     return frame
+
+
+# ---------------------------------------------------------------------------
+# Host-side display helpers (reference img_utils.py parity: the map/video
+# compositing surface a reference user expects)
+# ---------------------------------------------------------------------------
+def place_img_in_img(base: np.ndarray, img: np.ndarray, row: int, col: int) -> np.ndarray:
+    """Paste ``img`` centred at (row, col) of ``base``, cropping overhang
+    (img_utils.place_img_in_img:31-61). Mutates and returns ``base``."""
+    assert 0 <= row < base.shape[0] and 0 <= col < base.shape[1], (
+        "Pixel location is outside the image."
+    )
+    top, left = row - img.shape[0] // 2, col - img.shape[1] // 2
+    b_top, b_left = max(0, top), max(0, left)
+    b_bot = min(base.shape[0], top + img.shape[0])
+    b_right = min(base.shape[1], left + img.shape[1])
+    i_top, i_left = b_top - top, b_left - left
+    base[b_top:b_bot, b_left:b_right] = img[
+        i_top : i_top + (b_bot - b_top), i_left : i_left + (b_right - b_left)
+    ]
+    return base
+
+
+def monochannel_to_inferno_rgb(image: np.ndarray) -> np.ndarray:
+    """Min-max normalize a float image and apply the Inferno colormap
+    (img_utils.monochannel_to_inferno_rgb:64-86; BGR, like cv2)."""
+    import cv2
+
+    ptp = float(np.max(image) - np.min(image))
+    norm = np.zeros_like(image) if ptp == 0 else (image - np.min(image)) / ptp
+    return cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_INFERNO)
+
+
+def resize_images(images, match_dimension: str = "height", use_max: bool = True):
+    """Rescale a list of images to a common height or width
+    (img_utils.resize_images:88-121)."""
+    import cv2
+
+    if len(images) == 1:
+        return list(images)
+    if match_dimension == "height":
+        h = (max if use_max else min)(im.shape[0] for im in images)
+        return [
+            cv2.resize(im, (int(im.shape[1] * h / im.shape[0]), h)) for im in images
+        ]
+    if match_dimension == "width":
+        w = (max if use_max else min)(im.shape[1] for im in images)
+        return [
+            cv2.resize(im, (w, int(im.shape[0] * w / im.shape[1]))) for im in images
+        ]
+    raise ValueError("Invalid 'match_dimension' argument. Use 'height' or 'width'.")
+
+
+def resize_image(img: np.ndarray, new_height: int) -> np.ndarray:
+    """Aspect-preserving resize to a target height (img_utils.resize_image)."""
+    import cv2
+
+    w = int(new_height * img.shape[1] / img.shape[0])
+    return cv2.resize(img, (w, new_height), interpolation=cv2.INTER_AREA)
+
+
+def crop_white_border(image: np.ndarray) -> np.ndarray:
+    """Crop to the bounding box of non-white pixels
+    (img_utils.crop_white_border:123-149)."""
+    import cv2
+
+    gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+    nz = np.argwhere(gray != 255)
+    if len(nz) == 0:
+        return image
+    (r0, c0), (r1, c1) = nz.min(axis=0), nz.max(axis=0)
+    return image[r0 : r1 + 1, c0 : c1 + 1, :]
+
+
+def pad_to_square(img: np.ndarray, padding_color=(255, 255, 255), extra_pad: int = 0) -> np.ndarray:
+    """Pad the smaller dimension so the image is square
+    (img_utils.pad_to_square:151-176)."""
+    side = max(img.shape[0], img.shape[1]) + extra_pad
+    out = np.ones((side, side, 3), np.uint8) * np.asarray(padding_color, np.uint8)
+    return place_img_in_img(out, img, side // 2, side // 2)
+
+
+def pad_larger_dim(image: np.ndarray, target_dimension: int) -> np.ndarray:
+    """Whitespace-pad along the larger dimension up to a minimum size
+    (img_utils.pad_larger_dim:178-211)."""
+    h, w = image.shape[:2]
+    larger = max(h, w)
+    if larger >= target_dimension:
+        return image
+    pad = target_dimension - larger
+    a, b = pad // 2, pad - pad // 2
+    if h > w:
+        return np.vstack([
+            np.full((a, w, 3), 255, np.uint8), image, np.full((b, w, 3), 255, np.uint8)
+        ])
+    return np.hstack([
+        np.full((h, a, 3), 255, np.uint8), image, np.full((h, b, 3), 255, np.uint8)
+    ])
+
+
+def reorient_rescale_map(vis_map_img: np.ndarray) -> np.ndarray:
+    """Display prep for rendered maps: crop whitespace, pad to >= 150 px,
+    square, then a 50 px white border (img_utils.reorient_rescale_map:297-321;
+    consumed by habitat_visualizer.py:135, objectnav_env.py:81,
+    semexp eval.py:156)."""
+    import cv2
+
+    out = crop_white_border(vis_map_img)
+    out = pad_larger_dim(out, 150)
+    out = pad_to_square(out, extra_pad=50)
+    return cv2.copyMakeBorder(
+        out, 50, 50, 50, 50, cv2.BORDER_CONSTANT, value=(255, 255, 255)
+    )
+
+
+def remove_small_blobs(image: np.ndarray, min_area: int) -> np.ndarray:
+    """Zero out connected components smaller than ``min_area``
+    (img_utils.remove_small_blobs:323-336)."""
+    import cv2
+
+    contours, _ = cv2.findContours(image, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+    for c in contours:
+        if cv2.contourArea(c) < min_area:
+            cv2.drawContours(image, [c], -1, 0, -1)
+    return image
+
+
+def median_blur_normalized_depth_image(depth_image: np.ndarray, ksize: int) -> np.ndarray:
+    """Median blur through a u8 round trip (img_utils:269-295)."""
+    import cv2
+
+    u8 = (depth_image * 255).astype(np.uint8)
+    return cv2.medianBlur(u8, ksize).astype(np.float32) / 255
