@@ -452,3 +452,43 @@ def test_convert_to_global_frame_matches_reference(ref):
             ref.gu.convert_to_global_frame(pos, yaw, local),
             atol=1e-5,
         )
+
+
+def test_remove_numpy_arrays_matches_reference():
+    sys.path.insert(0, REF)
+    try:
+        # episode_stats_logger pulls frontier_exploration.utils.general_utils
+        # at import; stub it (the function under test never touches it)
+        def _stub(name, **attrs):
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules.setdefault(name, m)
+
+        _stub("frontier_exploration.utils.general_utils",
+              xyz_to_habitat=lambda x: x)
+        _stub("habitat")
+        _stub("habitat.utils")
+        _stub("habitat.utils.common", flatten_dict=lambda d, **k: d)
+        _stub("habitat.utils.visualizations", maps=None)
+        _stub("habitat.utils.visualizations.maps", MAP_TARGET_POINT_INDICATOR=6)
+        sys.modules["habitat.utils.visualizations"].maps = sys.modules[
+            "habitat.utils.visualizations.maps"]
+        _stub("habitat.utils.visualizations.utils",
+              overlay_text_to_image=lambda img, lines, font_size=0.25: img)
+        _stub("habitat_baselines")
+        _stub("habitat_baselines.common")
+        _stub("habitat_baselines.common.tensor_dict", TensorDict=dict)
+        import vlfm.utils.episode_stats_logger as esl
+    except Exception:
+        pytest.skip("reference episode_stats_logger unimportable")
+    finally:
+        sys.path.remove(REF)
+    from vlfm_tpu.runner.metrics import remove_numpy_arrays
+
+    d = {
+        "a": 1, "b": np.zeros(3), "c": {"d": np.ones((2, 2)), "e": "x",
+                                        "f": {"g": 2.5, "h": np.arange(2)}},
+        "lst": [1, 2],
+    }
+    assert remove_numpy_arrays(d) == esl.remove_numpy_arrays(d)

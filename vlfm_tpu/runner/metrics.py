@@ -174,3 +174,44 @@ def aggregate(results) -> dict:
             causes[r.failure_cause] = causes.get(r.failure_cause, 0) + 1
     agg["failure_causes"] = causes
     return agg
+
+
+def remove_numpy_arrays(d):
+    """JSON-sanitize an info dict: drop ndarray values, recurse into dicts
+    (episode_stats_logger.remove_numpy_arrays:114-125)."""
+    import numpy as np
+
+    if not isinstance(d, dict):
+        return d
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out[k] = remove_numpy_arrays(v)
+        elif not isinstance(v, np.ndarray):
+            out[k] = v
+    return out
+
+
+def extract_scalars_from_info(info):
+    """Flatten an env info dict to dotted-key scalars, skipping lists/arrays
+    (vlfm_trainer.extract_scalars_from_info:40-43 role, implemented without
+    habitat)."""
+    import numpy as np
+
+    out = {}
+
+    def walk(d, prefix=""):
+        for k, v in d.items():
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk(v, key)
+            elif isinstance(v, (list, tuple, np.ndarray, str)) or v is None:
+                continue
+            else:
+                try:
+                    out[key] = float(v)
+                except (TypeError, ValueError):
+                    pass
+
+    walk(info)
+    return out

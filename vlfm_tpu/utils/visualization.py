@@ -329,3 +329,45 @@ def median_blur_normalized_depth_image(depth_image: np.ndarray, ksize: int) -> n
 
     u8 = (depth_image * 255).astype(np.uint8)
     return cv2.medianBlur(u8, ksize).astype(np.float32) / 255
+
+
+def flatten_dict(d: dict, parent_key: str = "") -> dict:
+    """Nested dict -> dotted-key flat dict (habitat's helper used by
+    overlay_frame; lists are kept as values, not recursed)."""
+    out = {}
+    for k, v in d.items():
+        key = f"{parent_key}.{k}" if parent_key else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_dict(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def overlay_frame(frame: np.ndarray, info: dict, additional=None) -> np.ndarray:
+    """Render the info dict's scalar/string metrics as small text lines onto
+    the frame (habitat_visualizer.overlay_frame:256-276; the reference
+    delegates pixel drawing to habitat's overlay_text_to_image — here the
+    lines render with cv2 directly, same content and ordering)."""
+    import cv2
+
+    lines = []
+    for k, v in flatten_dict(info).items():
+        if isinstance(v, str):
+            lines.append(f"{k}: {v}")
+        else:
+            try:
+                lines.append(f"{k}: {v:.2f}")
+            except TypeError:
+                pass
+    if additional is not None:
+        lines.extend(additional)
+    out = frame.copy()
+    y = 12
+    for line in lines:
+        cv2.putText(out, line, (4, y), cv2.FONT_HERSHEY_SIMPLEX, 0.35,
+                    (0, 0, 0), 2, cv2.LINE_AA)
+        cv2.putText(out, line, (4, y), cv2.FONT_HERSHEY_SIMPLEX, 0.35,
+                    (255, 255, 255), 1, cv2.LINE_AA)
+        y += 14
+    return out
