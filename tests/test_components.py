@@ -151,3 +151,25 @@ class TestValueMapIO:
         replayed = replay(str(tmp_path), spec=spec)
         assert np.allclose(np.asarray(replayed.conf), np.asarray(state.conf), atol=2e-4)
         assert np.allclose(np.asarray(replayed.values), np.asarray(state.values), atol=2e-4)
+
+
+def test_overlay_frame_and_scalar_extraction():
+    import numpy as np
+
+    from vlfm_tpu.runner.metrics import extract_scalars_from_info
+    from vlfm_tpu.utils.visualization import flatten_dict, overlay_frame
+
+    info = {"success": 1.0, "spl": 0.52, "nested": {"distance_to_goal": 0.3},
+            "scene": "apt0", "skip_list": [1, 2], "arr": np.zeros(3)}
+    flat = flatten_dict(info)
+    assert flat["nested.distance_to_goal"] == 0.3 and "scene" in flat
+
+    scalars = extract_scalars_from_info(info)
+    assert scalars == {"success": 1.0, "spl": 0.52,
+                       "nested.distance_to_goal": 0.3}
+
+    frame = np.full((120, 240, 3), 255, np.uint8)
+    out = overlay_frame(frame, info, additional=["target: toilet"])
+    assert out.shape == frame.shape
+    assert (out != 255).any()  # something was drawn
+    assert (frame == 255).all()  # input not mutated
