@@ -50,13 +50,11 @@ def main():
     print("[2] cosine_cached_text(jit):",
           pipelined_ms(lambda: m.cosine_cached_text(imgs, text)), "ms", flush=True)
 
-    # stage 3: ViT trunk only
+    # stage 3: ViT trunk only (full param tree: setup() binds every param)
     @jax.jit
     def vit_only(p, x):
-        import flax.linen as nn
-
         mod = BLIP2ITMModule(cfg)
-        return mod.apply({"params": {"vision": p["vision"]}}, x,
+        return mod.apply({"params": p}, x,
                          method=lambda self, xx: self.vision(xx.astype(cfg.compute_dtype)))
 
     print("[3] ViT-g trunk only:",

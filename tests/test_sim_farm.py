@@ -154,3 +154,44 @@ def test_farm_depth_u16_runs_episodes():
     assert len(farm) == 4
     assert stats.env_steps > 0
     assert all(r.steps > 0 for r in farm.values())
+
+
+def test_obs_record_roundtrip_rgb_half():
+    """2x2-averaged rgb transport: exact box-average payload, 4x fewer rgb
+    bytes. The reference's own transport is lossy JPEG-q90 per request
+    (vlfm/vlm/server_wrapper.py:57-68); parity suites keep full-res."""
+    env = FakeObjectNavEnv(open_room_plan(seed=3), ENV)
+    o = env.reset()
+    rec = sim_farm.pack_obs(lane=1, seed=3, step=0, o=o, rgb=True, rgb_half=True)
+    nb = sim_farm.obs_slot_bytes(ENV.height, ENV.width, rgb=True, rgb_half=True)
+    assert len(rec) <= nb
+    full = sim_farm.obs_slot_bytes(ENV.height, ENV.width, rgb=True)
+    assert full - nb == 3 * ENV.height * ENV.width - 3 * (ENV.height // 2) * (ENV.width // 2)
+    back = sim_farm.unpack_obs(rec, ENV.height, ENV.width, rgb=True, rgb_half=True)
+    assert back["rgb"].shape == (ENV.height // 2, ENV.width // 2, 3)
+    img = np.asarray(o["rgb"], np.uint16)
+    h2, w2 = ENV.height // 2, ENV.width // 2
+    expect = ((img.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) + 2) >> 2).astype(np.uint8)
+    np.testing.assert_array_equal(back["rgb"], expect)
+    # depth is untouched (full res, exact f32)
+    np.testing.assert_array_equal(back["depth"], np.asarray(o["depth"], np.float32))
+
+
+def test_rgb_half_drift_bound():
+    """Model-input drift bound: every consumer resamples rgb to its own
+    resolution (ITM 224, OWL 768, SAM 1024), so the half-res source only
+    perturbs the anti-aliased resample. Pin the perturbation on real fake-env
+    frames at the model seam."""
+    from vlfm_tpu.ops.resize import resize_matmul
+
+    worst = 0.0
+    for seed in range(3):
+        env = FakeObjectNavEnv(open_room_plan(seed=seed), ENV)
+        o = env.reset()
+        img = np.asarray(o["rgb"], np.uint16)
+        h2, w2 = ENV.height // 2, ENV.width // 2
+        half = ((img.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) + 2) >> 2).astype(np.uint8)
+        a = np.asarray(resize_matmul(jnp.asarray(o["rgb"], jnp.float32) / 255.0, 224, 224, "cubic"))
+        b = np.asarray(resize_matmul(jnp.asarray(half, jnp.float32) / 255.0, 224, 224, "cubic"))
+        worst = max(worst, float(np.abs(a - b).mean()))
+    assert worst < 0.02, worst  # mean drift under ~2% of dynamic range

@@ -64,16 +64,18 @@ FLAG_TARGET_VISIBLE = 2
 
 
 def obs_slot_bytes(
-    height: int, width: int, rgb: bool = False, depth_u16: bool = False
+    height: int, width: int, rgb: bool = False, depth_u16: bool = False,
+    rgb_half: bool = False,
 ) -> int:
     base = _OBS_HEAD.size + (2 if depth_u16 else 4) * height * width
     base += (height * width + 7) // 8
-    return base + (3 * height * width if rgb else 0)
+    px = (height // 2) * (width // 2) if rgb_half else height * width
+    return base + (3 * px if rgb else 0)
 
 
 def pack_obs(
     lane: int, seed: int, step: int, o: dict, rgb: bool = False,
-    depth_u16: bool = False,
+    depth_u16: bool = False, rgb_half: bool = False,
 ) -> bytes:
     flags = (FLAG_DONE if o["done"] else 0) | (
         FLAG_TARGET_VISIBLE if o["target_visible"] else 0
@@ -94,13 +96,27 @@ def pack_obs(
         depth = np.ascontiguousarray(o["depth"], np.float32).tobytes()
     mask = np.packbits(np.asarray(o["target_mask"], bool)).tobytes()
     if rgb:
-        return head + depth + mask + np.ascontiguousarray(o["rgb"], np.uint8).tobytes()
+        img = np.asarray(o["rgb"], np.uint8)
+        if rgb_half:
+            # 2x2 box average, round-to-nearest: the reference's own
+            # transport is lossy (JPEG-q90 per request,
+            # vlfm/vlm/server_wrapper.py:57-68); every consumer model
+            # resamples from 480x640 anyway (224/768/1024 px), so a half-res
+            # source costs a bounded cosine/detection drift
+            # (tests/test_sim_farm.py::test_rgb_half_drift_bound) for 4x
+            # less rgb on bandwidth-limited host links
+            h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+            img = (
+                (img.astype(np.uint16).reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3))
+                 + 2) >> 2
+            ).astype(np.uint8)
+        return head + depth + mask + np.ascontiguousarray(img).tobytes()
     return head + depth + mask
 
 
 def unpack_obs(
     payload: bytes, height: int, width: int, rgb: bool = False, mask: bool = True,
-    depth_u16: bool = False,
+    depth_u16: bool = False, rgb_half: bool = False,
 ) -> dict:
     """``mask=False`` skips the target-mask unpackbits — the perception
     (model-based) farm path never reads it, and on a 1-core host the per-
@@ -128,8 +144,9 @@ def unpack_obs(
     rgb_img = None
     if rgb:
         off2 = off + nbits
-        rgb_img = np.frombuffer(payload, np.uint8, 3 * height * width, off2).reshape(
-            height, width, 3
+        rh, rw = (height // 2, width // 2) if rgb_half else (height, width)
+        rgb_img = np.frombuffer(payload, np.uint8, 3 * rh * rw, off2).reshape(
+            rh, rw, 3
         )
     return {
         "rgb": rgb_img,
@@ -172,6 +189,7 @@ def worker_main(
     max_steps: int,
     want_rgb: bool = False,
     depth_u16: bool = False,
+    rgb_half: bool = False,
 ) -> None:
     """Sim worker process: owns ``lane_ids``, drains its private seed queue.
 
@@ -208,7 +226,8 @@ def worker_main(
         shortest[lane] = envs[lane].shortest_path_length()
         o = envs[lane].reset()
         seen[lane] = bool(o["target_visible"])
-        t = obs_ring.push(pack_obs(lane, s, 0, o, rgb=want_rgb, depth_u16=depth_u16))
+        t = obs_ring.push(pack_obs(lane, s, 0, o, rgb=want_rgb, depth_u16=depth_u16,
+                                   rgb_half=rgb_half))
         dbg("pushed initial obs", "lane", lane, "seed", s, "ticket", t)
         active.add(lane)
 
@@ -241,7 +260,7 @@ def worker_main(
                 seen[lane] = seen[lane] or bool(o["target_visible"])
                 obs_ring.push(
                     pack_obs(lane, seed, steps[lane], o, rgb=want_rgb,
-                             depth_u16=depth_u16))
+                             depth_u16=depth_u16, rgb_half=rgb_half))
 
 
 @dataclass
@@ -295,6 +314,7 @@ def run_episodes_farm(
     perception=None,
     target: str = "toilet",
     depth_u16: bool = False,
+    rgb_half: bool = False,
 ):
     """Drive ``lanes`` episode lanes fed by ``workers`` sim processes.
 
@@ -328,9 +348,11 @@ def run_episodes_farm(
     groups = [list(range(0, half)), list(range(half, lanes))]
 
     want_rgb = perception is not None
+    assert not rgb_half or (h % 2 == 0 and w % 2 == 0), "rgb_half needs even dims"
     obs_ring = ObservationRing.create(
         f"{ring_prefix}_obs",
-        slot_bytes=obs_slot_bytes(h, w, rgb=want_rgb, depth_u16=depth_u16),
+        slot_bytes=obs_slot_bytes(h, w, rgb=want_rgb, depth_u16=depth_u16,
+                                  rgb_half=rgb_half),
         n_slots=4 * lanes + 16,
     )
     act_ring = ObservationRing.create(
@@ -374,7 +396,7 @@ def run_episodes_farm(
                 args=(
                     f"{ring_prefix}_obs", f"{ring_prefix}_act",
                     [int(x) for x in lane_spans[wi]], seed_splits[wi],
-                    plan_name, env_cfg, limit, want_rgb, depth_u16,
+                    plan_name, env_cfg, limit, want_rgb, depth_u16, rgb_half,
                 ),
                 daemon=True,
             )
@@ -441,7 +463,8 @@ def run_episodes_farm(
                 ))
             else:
                 o = unpack_obs(payload, h, w, rgb=want_rgb,
-                               mask=perception is None, depth_u16=depth_u16)
+                               mask=perception is None, depth_u16=depth_u16,
+                               rgb_half=rgb_half)
                 if depth_u16 and fused is None:
                     # only the fused program dequantizes on device; host-side
                     # consumers need f32
@@ -523,7 +546,8 @@ def run_episodes_farm(
             # transfer of one group overlaps the other group's device time.
             depth_b = np.empty((half, h, w),
                                np.uint16 if depth_u16 else np.float32)
-            rgb_b = np.empty((half, h, w, 3), np.uint8)
+            rh, rw = (h // 2, w // 2) if rgb_half else (h, w)
+            rgb_b = np.empty((half, rh, rw, 3), np.uint8)
             heading_b = np.empty((half,), np.float32)
             xy_b = np.empty((half, 2), np.float32)
             seeds_b = np.zeros((half,), np.int32)
