@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from vlfm_tpu.models.layers import attention, merge_heads, split_heads
-from vlfm_tpu.ops.attention import flash_attention, flash_attention_grouped
+from vlfm_tpu.ops.attention import (
+    flash_attention,
+    flash_attention_grouped,
+    flash_attention_grouped_v2,
+)
 from vlfm_tpu.ops.conv_fused import gelu_poly
 from vlfm_tpu.ops.norms import layer_norm
 
@@ -48,6 +52,8 @@ def make_block(attn_kind: str, ln_kind: str):
             return flash_attention(q, k, v, interpret=False)
         if attn_kind == "grouped":
             return flash_attention_grouped(q, k, v, interpret=False)
+        if attn_kind == "v2_g8":
+            return flash_attention_grouped_v2(q, k, v, interpret=False, group=8)
         if attn_kind == "xla":
             return attention(q, k, v)
         return v  # no_core
@@ -78,11 +84,9 @@ def main():
     x0 = jax.random.normal(jax.random.PRNGKey(0), (B, L, D), jnp.bfloat16)
 
     for attn_kind, ln_kind in [
-        ("full", "pallas"),
-        ("grouped", "pallas"),
+        ("v2_g8", "pallas"),
         ("xla", "pallas"),
         ("no_core", "pallas"),
-        ("grouped", "xla"),
     ]:
         block = make_block(attn_kind, ln_kind)
 

@@ -45,3 +45,30 @@ def test_padded_keys_do_not_leak():
     v = jnp.ones((1, 1, 257, 88))
     out = flash_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "b,h,l,d,group",
+    [(2, 2, 64, 32, 2), (1, 16, 257, 88, 8), (2, 4, 130, 16, None)],
+)
+def test_grouped_v2_matches_reference_f32(b, h, l, d, group):
+    from vlfm_tpu.ops.attention import flash_attention_grouped_v2
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, l, d), jnp.float32) for kk in ks)
+    want = attention(q, k, v)
+    got = flash_attention_grouped_v2(q, k, v, interpret=True, group=group)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_grouped_v2_auto_group_respects_vmem():
+    """The auto group picker must reject groups whose double-buffered blocks
+    exceed VMEM (g=32 at the ViT-g shape compiles to a 16.36 MB stack)."""
+    from vlfm_tpu.ops.attention import flash_attention_grouped_v2
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    # OWL-ViT-like shape: L=577, D=64 — g=16 would blow the budget
+    q, k, v = (jax.random.normal(kk, (1, 16, 577, 64), jnp.float32) for kk in ks)
+    want = attention(q, k, v)
+    got = flash_attention_grouped_v2(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

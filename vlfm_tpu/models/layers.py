@@ -74,9 +74,15 @@ def merge_heads(x):
 class FusedQKVAttention(nn.Module):
     """CLIP/EVA-style attention with one fused qkv projection.
 
-    On TPU the softmax(QK^T)V core runs as the fused pallas kernel
-    (ops/attention.flash_attention) — no HBM round trip for the (B, H, L,
-    L) logits; CPU/interpret keeps the einsum reference path."""
+    TPU routing (measured on chip at the ViT-g serving shape B=32 L=257
+    H=16 D=88, scripts/diag_vit_block.py round 4): the original
+    per-query-tile pallas flash kernel ran the 39-block trunk at 180.9 ms
+    vs 138.9 ms for plain XLA einsum attention and 139.5 ms for the
+    grouped-head pallas kernel — at these short sequence lengths XLA's own
+    fusion already overlaps the logits traffic with the surrounding
+    matmuls, and the explicit 128-lane padding of D=88 plus the 1536-
+    instance grid made the kernel a net loss. Default is therefore the
+    einsum path; set VLFM_VIT_ATTN=flash|grouped_v2 to A/B the kernels."""
 
     num_heads: int
 
@@ -88,8 +94,13 @@ class FusedQKVAttention(nn.Module):
         q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
         from vlfm_tpu.ops.backend import default_interpret
 
-        if default_interpret():
+        kind = __import__("os").environ.get("VLFM_VIT_ATTN", "xla")
+        if default_interpret() or kind == "xla":
             out = attention(q, k, v)
+        elif kind == "grouped_v2":
+            from vlfm_tpu.ops.attention import flash_attention_grouped_v2
+
+            out = flash_attention_grouped_v2(q, k, v)
         else:
             from vlfm_tpu.ops.attention import flash_attention
 
