@@ -332,7 +332,14 @@ class DeformableAttention(nn.Module):
 
         from vlfm_tpu.ops.backend import default_interpret
 
-        if default_interpret() or os.environ.get("VLFM_DEFORM_KERNEL") == "0":
+        # Round-4 on-chip A/B (scripts/bench_deform.py, B=8 @800px, all four
+        # levels): XLA row-gather 251.5 ms vs pallas kernel 1428.8 ms — the
+        # kernel's serial VMEM row-fetch loop (512 scalar dynamic slices per
+        # tile) does not pipeline, so the XLA gather is the default TPU path
+        # and the kernel stays opt-in (VLFM_DEFORM_KERNEL=1) for future
+        # Mosaic gather support. Gathers alone cap GDINO at ~5.3 imgs/s on
+        # this chip; OWL-ViT (~512 imgs/s) remains the TPU default detector.
+        if default_interpret() or os.environ.get("VLFM_DEFORM_KERNEL") != "1":
             # CPU/parity path: explicit per-level sample + one combine einsum
             start = 0
             sampled = []

@@ -47,6 +47,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(idx_ref, w_ref, table_ref, o_ref, scratch, *, npts: int, dh: int):
+    # blocks are head-merged: idx (1, TQ, P), w (1, TQ, 4P), table (1, R, 4dh),
+    # out (1, TQ, dh) — Mosaic requires the last two block dims to tile
+    # (8, 128) or equal the array dims, which the old per-head singleton
+    # layout (1, TQ, 1, P) violated (the round-4 on-chip A/B rejection).
     tq = o_ref.shape[1]
     d4 = 4 * dh
     # expand matrix: E[t, t*dh:(t+1)*dh] = 1  (broadcast tap weight over lanes)
@@ -61,12 +65,12 @@ def _kernel(idx_ref, w_ref, table_ref, o_ref, scratch, *, npts: int, dh: int):
     acc = jnp.zeros((tq, dh), jnp.float32)
     for p in range(npts):
         def fetch(i, _):
-            r = idx_ref[0, i, 0, p]
-            row = table_ref[0, pl.dslice(r, 1), 0, :]  # (1, d4)
+            r = idx_ref[0, i, p]
+            row = table_ref[0, pl.dslice(r, 1), :]  # (1, d4)
             scratch[pl.dslice(i, 1), :] = row.astype(jnp.float32)
             return 0
         jax.lax.fori_loop(0, tq, fetch, 0)
-        w4 = w_ref[0, :, 0, 4 * p : 4 * p + 4].astype(jnp.float32)  # (TQ, 4)
+        w4 = w_ref[0, :, 4 * p : 4 * p + 4].astype(jnp.float32)  # (TQ, 4)
         wexp = jax.lax.dot_general(
             w4, expand, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -75,7 +79,7 @@ def _kernel(idx_ref, w_ref, table_ref, o_ref, scratch, *, npts: int, dh: int):
             scratch[...] * wexp, gsum, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    o_ref[0, :, 0, :] = acc.astype(o_ref.dtype)
+    o_ref[0, :, :] = acc.astype(o_ref.dtype)
 
 
 def gather_combine(
@@ -108,23 +112,27 @@ def gather_combine(
     if qp != q:
         anchor = jnp.pad(anchor, ((0, 0), (0, qp - q), (0, 0), (0, 0)))
         w = jnp.pad(w, ((0, 0), (0, qp - q), (0, 0), (0, 0), (0, 0)))
-    wf = w.reshape(b, qp, nh, npts * 4)
-    grid = (b, nh, qp // tile_q)
+    # head-merged layout: (B*nh, ...) so every block's trailing dims are
+    # full-size (see _kernel note)
+    anchor_hm = anchor.transpose(0, 2, 1, 3).reshape(b * nh, qp, npts)
+    wf = w.transpose(0, 2, 1, 3, 4).reshape(b * nh, qp, npts * 4)
+    table_hm = table.transpose(0, 2, 1, 3).reshape(b * nh, r, d4)
+    grid = (b * nh, qp // tile_q)
     out = pl.pallas_call(
         functools.partial(_kernel, npts=npts, dh=dh),
-        out_shape=jax.ShapeDtypeStruct((b, qp, nh, dh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * nh, qp, dh), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_q, 1, npts), lambda i, h, t: (i, t, h, 0),
+            pl.BlockSpec((1, tile_q, npts), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, 1, npts * 4), lambda i, h, t: (i, t, h, 0),
+            pl.BlockSpec((1, tile_q, npts * 4), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, 1, d4), lambda i, h, t: (i, 0, h, 0),
+            pl.BlockSpec((1, r, d4), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_q, 1, dh), lambda i, h, t: (i, t, h, 0),
+        out_specs=pl.BlockSpec((1, tile_q, dh), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tile_q, d4), jnp.float32)],
         interpret=interpret,
-    )(anchor, wf, table)
-    return out[:, :q]
+    )(anchor_hm, wf, table_hm)
+    return out.reshape(b, nh, qp, dh).transpose(0, 2, 1, 3)[:, :q]
