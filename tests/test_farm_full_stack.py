@@ -89,3 +89,34 @@ def test_farm_full_stack_rgb_half_transport():
     assert set(farm) == set(seeds)
     assert stats.env_steps == sum(r.steps for r in farm.values())
     assert all(r.steps > 0 for r in farm.values())
+
+
+@needs_native
+def test_farm_full_stack_vqa_fused_matches_single():
+    """VQA-veto configuration at fused-dispatch speed (round-3 VERDICT item
+    #5): the farm's ONE-program dispatch threads the T5 + BLIP2-bridge params
+    (FullStackPerception.make_fused_step) and must reproduce the unfused
+    single-episode driver's decisions exactly — the veto
+    (base_objectnav_policy.py:326-335) included."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, use_vqa=True)
+    seeds = [0, 2]
+    perception = FullStackPerception(cfg)  # tiny random-weight stack + VQA
+    farm, stats = sim_farm.run_episodes_farm(
+        seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=cfg,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        ring_prefix="vlfm_test_farm_vqa", perception=perception,
+    )
+    assert set(farm) == set(seeds)
+
+    for s in seeds:
+        env = FakeObjectNavEnv(open_room_plan(seed=s), ENV)
+        single, _ = run_full_stack_episode(
+            env, SPEC, cfg, pointnav="greedy", perception=perception, seed=s
+        )
+        a, b = farm[s], single
+        assert a.success == b.success, f"seed {s}: success diverged"
+        assert a.steps == b.steps, f"seed {s}: step count diverged"
+        assert a.target_detected == b.target_detected, f"seed {s}"
+        assert a.failure_cause == b.failure_cause, f"seed {s}: taxonomy diverged"

@@ -415,10 +415,10 @@ def run_episodes_farm(
     # The fused dispatch: perception + resets + policy as ONE jitted call per
     # group (the unfused path made ~140 tiny eager device calls per dispatch
     # — ~2.4 s of tunnel overhead against a ~0.4 s device path; see
-    # FullStackPerception.make_fused_step). The VQA-veto configuration keeps
-    # the unfused batch() path.
+    # FullStackPerception.make_fused_step). VQA-veto configurations fuse
+    # too — the T5/bridge params thread through the same program.
     fused = None
-    if perception is not None and not perception.pipeline.use_vqa:
+    if perception is not None:
         fused = perception.make_fused_step(
             pointnav, spec, cfg, target, version=version
         )
