@@ -182,15 +182,19 @@ def test_reference_acyclic_enforcer_is_inert(ref):
     StateAction has __hash__ but no __eq__, so `in` falls back to identity;
     a fresh probe with identical values is never "in" the history.
     """
+    # history is CLASS state, so other suites that drive the reference's
+    # policies (e.g. test_episode_parity) may already have populated it —
+    # count relatively, then undo our own pollution
+    base = len(ref.ac.AcyclicEnforcer().history)
     ae = ref.ac.AcyclicEnforcer()
     pos = np.array([1.0, 2.0])
     act = np.array([3.0, 4.0])
     other = (0.75, 0.5)
     ae.add_state_action(pos, act, other)
     assert ae.check_cyclic(np.array([1.0, 2.0]), np.array([3.0, 4.0]), (0.75, 0.5)) is False
-    # and history is CLASS state: a brand-new enforcer sees the old entries
+    # and history is CLASS state: a brand-new enforcer sees the new entry
     ae2 = ref.ac.AcyclicEnforcer()
-    assert len(ae2.history) == 1
+    assert len(ae2.history) == base + 1
     ref.ac.AcyclicEnforcer.history = set()  # undo the class-level pollution
 
 

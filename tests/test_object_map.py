@@ -83,12 +83,45 @@ class TestObjectMap:
         depth, mask = make_depth_with_blob(3.0, cx=30, cy=240, r=30)
         state = self._update(state, depth, mask)
         assert bool(OBJ.has_object(state))
-        assert not bool(state.slot_in_range[0])
+        assert not bool(state.point_in_range[0].any())
         # approach: the suspect points fall inside the half-range cone and the
         # slot is evicted
         tf = xyz_yaw_to_tf_matrix(jnp.array([1.0, 1.0, 0.88]), jnp.float32(0.5))
         state = OBJ.update_explored(state, tf, jnp.float32(MAX_D), jnp.float32(FOV))
         assert not bool(OBJ.has_object(state))
+
+    def test_mixed_detection_keeps_in_range_points(self):
+        """Per-point range semantics (object_point_cloud_map.py:48-61 +
+        102-132): a detection straddling the 95% range margin keeps its
+        in-range points through update_explored — only the suspect-point
+        group is removed when it re-enters the half-range cone."""
+        state = OBJ.create(slots=8, points_per_slot=256)
+        # centered blob whose depth ramps across the 0.95*MAX_D margin:
+        # left half ~4.2 m (in range), right half ~4.9 m (suspect)
+        h, w = 480, 640
+        depth = np.full((h, w), 0.95, np.float32)
+        yy, xx = np.mgrid[:h, :w]
+        blob = (xx - 320) ** 2 + (yy - 240) ** 2 < 80 * 80
+        near = blob & (xx < 320)
+        far = blob & (xx >= 320)
+        depth[near] = (4.2 - MIN_D) / (MAX_D - MIN_D)
+        depth[far] = (4.9 - MIN_D) / (MAX_D - MIN_D)
+        state = OBJ.update(
+            state, jax.random.PRNGKey(0), jnp.array(depth), jnp.array(blob),
+            xyz_yaw_to_tf_matrix(jnp.array([0.0, 0.0, 0.88]), jnp.float32(0.0)),
+            MIN_D, MAX_D, FX, FY, use_dbscan=False,
+        )
+        in_r = np.asarray(state.point_in_range[0] & state.point_valid[0])
+        sus = np.asarray(~state.point_in_range[0] & state.point_valid[0])
+        assert in_r.any() and sus.any(), "blob must straddle the margin"
+        # approach to ~3 m in front: the suspect points (~4.9 m out) fall
+        # well inside the half-range (2.5 m) cone -> suspect group dropped,
+        # in-range points survive even though they are in the cone too
+        tf = xyz_yaw_to_tf_matrix(jnp.array([3.0, 0.0, 0.88]), jnp.float32(0.0))
+        state = OBJ.update_explored(state, tf, jnp.float32(MAX_D), jnp.float32(FOV))
+        assert bool(OBJ.has_object(state))
+        left = np.asarray(state.point_valid[0])
+        np.testing.assert_array_equal(left, in_r)
 
     def test_in_range_preferred(self):
         state = OBJ.create(slots=8, points_per_slot=256)
@@ -144,7 +177,7 @@ def test_update_batch_equals_sequential():
     np.testing.assert_allclose(
         np.asarray(batched.points), np.asarray(seq.points), atol=1e-5)
     np.testing.assert_array_equal(
-        np.asarray(batched.slot_in_range), np.asarray(seq.slot_in_range))
+        np.asarray(batched.point_in_range), np.asarray(seq.point_in_range))
 
 
 def test_subsample_never_loses_small_masks():

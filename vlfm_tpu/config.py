@@ -58,6 +58,10 @@ class VLFMConfig:
     pointnav_stop_radius: float = 0.9
     use_max_confidence: bool = False
     object_map_erosion_size: int = 5
+    # largest-cluster DBSCAN filter on detection clouds (the reference's
+    # use_dbscan, object_point_cloud_map.py:19 — True in sim, False in its
+    # Reality configuration, reality_policies.py:43)
+    use_object_map_dbscan: bool = True
     exploration_thresh: float = 0.0
     obstacle_map_area_threshold: float = 1.5  # square meters
     min_obstacle_height: float = 0.61

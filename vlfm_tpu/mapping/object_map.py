@@ -5,11 +5,20 @@ Parity target: vlfm/mapping/object_point_cloud_map.py (ObjectPointCloudMap).
 TPU redesign: instead of an unbounded per-class dict of concatenated clouds
 tagged with random floats in a 4th column (:51-63) — which the reference later
 groups back together by exact float equality (:118-132) — the map is a ring of
-D fixed-size DETECTION SLOTS. Each slot holds up to M points plus per-slot
-flags. A slot is "suspect" when its detection was too offset in the image or
-out of depth range (:51-61); ``update_explored`` drops suspect slots whose
-points re-enter the half-range FOV cone (:102-132) — an exact, vectorized
-version of the random-id heuristic.
+D fixed-size DETECTION SLOTS. Each slot holds up to M points plus flags.
+
+Range semantics are PER POINT, exactly like the reference's marker column
+(:51-61): a non-offset detection marks each point in-range iff its camera-x
+is within 95% of max_depth, so a mixed detection contributes both in-range
+points (the reference's 1.0 markers) and one suspect group (the shared
+random id — here simply "the slot's suspect points"). A too-offset detection
+is a single all-suspect group. ``update_explored`` (:102-132) drops a slot's
+ENTIRE suspect group when any of its suspect points re-enters the half-range
+FOV cone — in-range points of the same detection always survive, matching
+the reference (id==1 is skipped there). This per-point bookkeeping is what
+makes whole-episode action parity hold (tests/test_episode_parity.py): the
+navigate transition happens the step the reference's does even when the
+first sighting straddles the 95% range margin.
 
 Matching behaviours:
 - mask erosion before back-projection (:152-153, erosion_size iterations of a
@@ -43,11 +52,22 @@ DEFAULT_SLOTS = 64
 DEFAULT_POINTS_PER_SLOT = 512
 
 
+def _rank_select(dists: jnp.ndarray, use: jnp.ndarray) -> jnp.ndarray:
+    """Index of the reference's no-dbscan representative point
+    (object_point_cloud_map.py:165-189): the median of the nearest 25% of
+    points — rank floor(n/4)//2 in distance order (rank 0 when n < 4).
+    Invalid points sort last via +inf."""
+    order = jnp.argsort(jnp.where(use, dists, jnp.inf))
+    n = use.sum(dtype=jnp.int32)
+    rank = jnp.where(n // 4 > 0, (n // 4) // 2, 0)
+    return order[rank]
+
+
 class ObjectMapState(NamedTuple):
     points: jnp.ndarray  # (D, M, 3) episodic frame
     point_valid: jnp.ndarray  # (D, M) bool
     slot_used: jnp.ndarray  # (D,) bool
-    slot_in_range: jnp.ndarray  # (D,) bool — False marks suspect detections
+    point_in_range: jnp.ndarray  # (D, M) bool — False marks suspect points
     cursor: jnp.ndarray  # () int32 ring-buffer write position
     last_target: jnp.ndarray  # (2,)
     has_last_target: jnp.ndarray  # () bool
@@ -58,7 +78,7 @@ def create(slots: int = DEFAULT_SLOTS, points_per_slot: int = DEFAULT_POINTS_PER
         points=jnp.zeros((slots, points_per_slot, 3)),
         point_valid=jnp.zeros((slots, points_per_slot), bool),
         slot_used=jnp.zeros(slots, bool),
-        slot_in_range=jnp.zeros(slots, bool),
+        point_in_range=jnp.zeros((slots, points_per_slot), bool),
         cursor=jnp.int32(0),
         last_target=jnp.zeros(2),
         has_last_target=jnp.bool_(False),
@@ -168,17 +188,23 @@ def update(
         ).astype(jnp.int32)
         keep = largest_cluster_mask(cloud_cam, keep, jnp.float32(dbscan_eps), min_pts)
 
-    # suspect if detection hugs the image edge or reaches past 95% range
+    # per-point range markers (object_point_cloud_map.py:48-61): an offset
+    # detection is all-suspect; otherwise each point past 95% range is
+    # suspect while the rest of the SAME detection stays in-range
     offset = _too_offset(object_mask)
-    out_of_range = (keep & (cloud_cam[:, 0] > max_depth * 0.95)).any()
-    in_range = ~(offset | out_of_range)
+    in_range = keep & ~offset & (cloud_cam[:, 0] <= max_depth * 0.95)
 
     cloud_epi = transform_points(tf_camera_to_episodic, cloud_cam)
 
     cam_pos = tf_camera_to_episodic[:3, 3]
     dists = jnp.linalg.norm(cloud_epi - cam_pos, axis=1)
-    closest = jnp.min(jnp.where(keep, dists, jnp.inf))
-    ok = keep.any() & (closest >= 1.0)  # too-close detections are untrusted
+    # too-close detections are untrusted (:64-70); without dbscan the
+    # reference measures the quartile-median point instead of the minimum
+    if use_dbscan:
+        closest = jnp.min(jnp.where(keep, dists, jnp.inf))
+    else:
+        closest = dists[_rank_select(dists, keep)]
+    ok = keep.any() & (closest >= 1.0)
 
     slot = state.cursor % d_slots
     new_points = state.points.at[slot].set(jnp.where(ok, cloud_epi, state.points[slot]))
@@ -191,8 +217,8 @@ def update(
         slot_used=state.slot_used.at[slot].set(
             jnp.where(ok, True, state.slot_used[slot])
         ),
-        slot_in_range=state.slot_in_range.at[slot].set(
-            jnp.where(ok, in_range, state.slot_in_range[slot])
+        point_in_range=state.point_in_range.at[slot].set(
+            jnp.where(ok, in_range, state.point_in_range[slot])
         ),
         cursor=state.cursor + ok.astype(jnp.int32),
     )
@@ -248,12 +274,14 @@ def update_batch(
                 cloud_cam, keep, jnp.float32(dbscan_eps), min_pts
             )
         offset = _too_offset(object_mask)
-        out_of_range = (keep & (cloud_cam[:, 0] > max_depth * 0.95)).any()
-        in_range = ~(offset | out_of_range)
+        in_range = keep & ~offset & (cloud_cam[:, 0] <= max_depth * 0.95)
         cloud_epi = transform_points(tf_camera_to_episodic, cloud_cam)
         cam_pos = tf_camera_to_episodic[:3, 3]
         dists = jnp.linalg.norm(cloud_epi - cam_pos, axis=1)
-        closest = jnp.min(jnp.where(keep, dists, jnp.inf))
+        if use_dbscan:
+            closest = jnp.min(jnp.where(keep, dists, jnp.inf))
+        else:
+            closest = dists[_rank_select(dists, keep)]
         ok = keep.any() & (closest >= 1.0)
         return cloud_epi, keep, in_range, ok
 
@@ -267,7 +295,7 @@ def update_batch(
         points=state.points.at[slots].set(clouds, mode="drop"),
         point_valid=state.point_valid.at[slots].set(keeps, mode="drop"),
         slot_used=state.slot_used.at[slots].set(True, mode="drop"),
-        slot_in_range=state.slot_in_range.at[slots].set(in_ranges, mode="drop"),
+        point_in_range=state.point_in_range.at[slots].set(in_ranges, mode="drop"),
         cursor=state.cursor + oks.sum(dtype=jnp.int32),
     )
 
@@ -279,37 +307,57 @@ def update_explored(
     max_depth: jnp.ndarray,
     cone_fov: jnp.ndarray,
 ) -> ObjectMapState:
-    """Drop suspect slots whose points re-enter the half-range FOV cone.
+    """Drop each slot's SUSPECT-point group when any of its suspect points
+    re-enters the half-range FOV cone.
 
-    Mirrors object_point_cloud_map.py:102-132: a suspect (out-of-range /
-    too-offset) detection that we can now see up close but no longer detect
-    was an ephemeral false positive.
+    Mirrors object_point_cloud_map.py:102-132 exactly: the reference collects
+    the range ids of cone-visible points, skips id==1 (in-range points are
+    never removed), and deletes every point sharing a hit suspect id — i.e.
+    the whole suspect group of that detection, even its points outside the
+    cone. In-range points of the same detection survive. A slot whose points
+    are all removed no longer counts for has_object (which ANDs point_valid).
     """
     cam = tf_camera_to_episodic[:3, 3]
     yaw = extract_yaw(tf_camera_to_episodic)
 
-    def slot_hit(pts, pvalid):
+    def slot_hit(pts, suspect):
         cone = within_fov_cone(cam, yaw, cone_fov, max_depth * 0.5, pts)
-        return (cone & pvalid).any()
+        return (cone & suspect).any()
 
-    hits = jax.vmap(slot_hit)(state.points, state.point_valid)
-    drop = hits & state.slot_used & ~state.slot_in_range
-    return state._replace(slot_used=state.slot_used & ~drop)
+    suspect = state.point_valid & ~state.point_in_range
+    hits = jax.vmap(slot_hit)(state.points, suspect) & state.slot_used
+    new_valid = state.point_valid & ~(hits[:, None] & ~state.point_in_range)
+    return state._replace(
+        point_valid=new_valid,
+        slot_used=state.slot_used & new_valid.any(axis=1),
+    )
 
 
-@jax.jit
-def get_best_object(state: ObjectMapState, curr_position: jnp.ndarray):
-    """(target_xy, new_state): closest target point with move hysteresis."""
+@partial(jax.jit, static_argnames=("use_dbscan",))
+def get_best_object(state: ObjectMapState, curr_position: jnp.ndarray,
+                    use_dbscan: bool = True):
+    """(target_xy, new_state): target point with move hysteresis (:77-100).
+
+    With dbscan the representative is the closest point (2D distance,
+    :165-169); without, the reference's quartile-median point under a 3D
+    distance to (x, y, 0.5) (:170-189).
+    """
     d, m = state.point_valid.shape
     pts = state.points.reshape(d * m, 3)
     pvalid = (state.point_valid & state.slot_used[:, None]).reshape(d * m)
-    in_range = (state.point_valid & (state.slot_used & state.slot_in_range)[:, None]).reshape(d * m)
+    in_range = (state.point_in_range & pvalid.reshape(d, m)).reshape(d * m)
 
     # Prefer in-range points when any exist (:134-141).
     use = jnp.where(in_range.any(), in_range, pvalid)
-    dist = jnp.linalg.norm(pts[:, :2] - curr_position[:2], axis=1)
-    dist = jnp.where(use, dist, jnp.inf)
-    closest = pts[jnp.argmin(dist), :2]
+    if use_dbscan:
+        dist = jnp.linalg.norm(pts[:, :2] - curr_position[:2], axis=1)
+        closest = pts[jnp.argmin(jnp.where(use, dist, jnp.inf)), :2]
+    else:
+        ref_point = jnp.array(
+            [curr_position[0], curr_position[1], 0.5], pts.dtype
+        )
+        dist = jnp.linalg.norm(pts - ref_point, axis=1)
+        closest = pts[_rank_select(dist, use), :2]
 
     delta = jnp.linalg.norm(closest - state.last_target)
     far_away = jnp.linalg.norm(curr_position[:2] - closest) > 2.0
@@ -325,6 +373,6 @@ def get_target_cloud(state: ObjectMapState):
     d, m = state.point_valid.shape
     pts = state.points.reshape(d * m, 3)
     pvalid = (state.point_valid & state.slot_used[:, None]).reshape(d * m)
-    in_range = (state.point_valid & (state.slot_used & state.slot_in_range)[:, None]).reshape(d * m)
+    in_range = (state.point_in_range & pvalid.reshape(d, m)).reshape(d * m)
     mask = jnp.where(in_range.any(), in_range, pvalid)
     return pts, mask

@@ -170,6 +170,7 @@ def step(
         cam.fx,
         cam.fy,
         erosion_size=cfg.object_map_erosion_size,
+        use_dbscan=cfg.use_object_map_dbscan,
     )
     objmap = OBJ.update_explored(
         objmap,
@@ -179,7 +180,9 @@ def step(
     )
 
     target_detected = OBJ.has_object(objmap)
-    obj_goal, objmap = OBJ.get_best_object(objmap, obs.robot_xy)
+    obj_goal, objmap = OBJ.get_best_object(
+        objmap, obs.robot_xy, use_dbscan=cfg.use_object_map_dbscan
+    )
 
     # --- frontier scoring (V1: cached first-sight cosine; V2/V3: value-map
     # median within 0.5 m) ---------------------------------------------------

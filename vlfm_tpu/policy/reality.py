@@ -160,7 +160,7 @@ def reality_step(
     )
     objmap = OBJ.update_explored(objmap, hand.tf, hand.max_depth, hand.fov)
     target_detected = OBJ.has_object(objmap)
-    obj_goal, objmap = OBJ.get_best_object(objmap, robot_xy)
+    obj_goal, objmap = OBJ.get_best_object(objmap, robot_xy, use_dbscan=False)
 
     # --- frontier scoring (V2/V3)
     radius_px = int(0.5 * spec.pixels_per_meter)
