@@ -559,7 +559,8 @@ def bench_full_stack(batch: int = 32, iters: int = 5, chunk: int = 8):
 # --------------------------------------------------------------------------
 # TRUE end-to-end: live envs + real models + host->device streaming
 # --------------------------------------------------------------------------
-def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int = 2):
+def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int = 2,
+                              rgb_half: bool = True, oracle: bool = True):
     """The complete serving system measured as ONE loop: worker processes run
     live synthetic 480x640 RGBD environments, frames cross a shared-memory
     ring, the driver streams each group's observations host->device and runs
@@ -607,7 +608,7 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
         list(range(lanes)), lanes=lanes, pointnav=pointnav, spec=spec, cfg=cfg,
         plan_name="two_room_plan", env_cfg=env_cfg, workers=workers,
         max_steps=2, ring_prefix="vlfm_bench_warm", perception=perception,
-        depth_u16=True, rgb_half=True,
+        depth_u16=True, rgb_half=rgb_half,
     )
     warm_s = round(time.time() - t0, 1)
 
@@ -620,10 +621,10 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
         [100 + s for s in range(lanes)], lanes=lanes, pointnav=pointnav,
         spec=spec, cfg=cfg, plan_name="two_room_plan", env_cfg=env_cfg,
         workers=workers, ring_prefix="vlfm_bench_farm", perception=perception,
-        depth_u16=True, rgb_half=True,
+        depth_u16=True, rgb_half=rgb_half,
     )
     obs_bytes = sim_farm.obs_slot_bytes(
-        env_cfg.height, env_cfg.width, rgb=True, depth_u16=True, rgb_half=True)
+        env_cfg.height, env_cfg.width, rgb=True, depth_u16=True, rgb_half=rgb_half)
     extras = {
         "streamed_env_steps": stats.env_steps,
         "streamed_warmup_s": warm_s,
@@ -642,22 +643,30 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
         ),
     }
 
-    # success>0 evidence through the SAME shm-ring + batched-dispatch farm:
-    # perception=None routes the env's oracle cosines/target-masks over the
-    # ring and pointnav='greedy' replaces the random-init network (the
-    # air-gapped stand-ins for trained VLM / pointnav checkpoints, neither of
-    # which is in this image) with a budget that clears the 11-step init spin
-    # plus cross-room travel.
-    oracle_res, oracle_stats = sim_farm.run_episodes_farm(
-        [200 + s for s in range(lanes)], lanes=lanes, pointnav="greedy",
-        spec=spec, cfg=cfg, plan_name="two_room_plan",
-        env_cfg=FE.EnvConfig(max_steps=120), workers=workers,
-        ring_prefix="vlfm_bench_orc",
-    )
-    extras["streamed_oracle_success_rate"] = round(
-        sum(r.success for r in oracle_res.values()) / max(len(oracle_res), 1), 3
-    )
-    extras["streamed_oracle_steps_per_s"] = round(oracle_stats.steps_per_sec, 1)
+    if oracle:
+        # success>0 evidence through the SAME shm-ring + batched-dispatch
+        # farm: perception=None routes the env's oracle cosines/target-masks
+        # over the ring (the fused oracle_fused program — packed mask bits,
+        # u16 depth, one call per dispatch) and pointnav='greedy' replaces
+        # the random-init network (the air-gapped stand-ins for trained VLM
+        # / pointnav checkpoints, neither of which is in this image) with a
+        # budget that clears the 11-step init spin plus cross-room travel.
+        orc_cfg = FE.EnvConfig(max_steps=120)
+        sim_farm.run_episodes_farm(  # compile oracle_fused outside the timing
+            list(range(lanes)), lanes=lanes, pointnav="greedy", spec=spec,
+            cfg=cfg, plan_name="two_room_plan", env_cfg=orc_cfg, max_steps=2,
+            workers=workers, ring_prefix="vlfm_bench_orcw", depth_u16=True,
+        )
+        oracle_res, oracle_stats = sim_farm.run_episodes_farm(
+            [200 + s for s in range(lanes)], lanes=lanes, pointnav="greedy",
+            spec=spec, cfg=cfg, plan_name="two_room_plan",
+            env_cfg=orc_cfg, workers=workers,
+            ring_prefix="vlfm_bench_orc", depth_u16=True,
+        )
+        extras["streamed_oracle_success_rate"] = round(
+            sum(r.success for r in oracle_res.values()) / max(len(oracle_res), 1), 3
+        )
+        extras["streamed_oracle_steps_per_s"] = round(oracle_stats.steps_per_sec, 1)
     return stats.steps_per_sec, extras
 
 

@@ -335,7 +335,6 @@ def run_episodes_farm(
 
     from vlfm_tpu.policy import itm
     from vlfm_tpu.runner import metrics as M
-    from vlfm_tpu.runner.episode_driver import _obs_from_env, _step_key
     from vlfm_tpu.utils.measurements import TraveledStairs
 
     assert lanes % 2 == 0, "lanes must be even (two ping-pong groups)"
@@ -429,15 +428,47 @@ def run_episodes_farm(
             pointnav=pointnav, spec=spec, cfg=cfg, version=version,
         )
 
-    step_fn = jax.jit(jax.vmap(one))
+    # The oracle (perception=None) dispatch is fused into ONE jitted program
+    # exactly like the model-stack dispatch: the old path made per-lane eager
+    # device calls (_obs_from_env transfers, per-lane fold_in keys, a
+    # separate reset_lanes launch) at ~2.6 ms tunnel overhead each and
+    # shipped the (half, K, H, W) bool mask buffer dense — 19.6 MB/dispatch
+    # at 480x640. Here the slot-0 target mask crosses as PACKED BITS
+    # (np.packbits layout) and is unpacked on device; rng keys come from the
+    # same fold_in(PRNGKey(seed), step) bits as episode_driver._step_key, so
+    # decisions stay bit-identical to the single-episode driver
+    # (tests/test_sim_farm.py farm==single parity).
+    from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
     @jax.jit
-    def reset_lanes(bs, mask):
+    def oracle_fused(gs, fresh_, reset_mask, depth, heading, xy, cos,
+                     mask_bits, valid0, seeds, steps):
+        if depth.dtype == jnp.uint16:
+            depth = depth.astype(jnp.float32) * (1.0 / 65535.0)
+
         def sel(b, f):
-            m = mask.reshape((half,) + (1,) * (b.ndim - 1))
+            m = reset_mask.reshape((-1,) + (1,) * (b.ndim - 1))
             return jnp.where(m, f, b)
 
-        return jax.tree_util.tree_map(sel, bs, fresh)
+        gs = jax.tree_util.tree_map(sel, gs, fresh_)
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits bitorder='big'
+        m0 = ((mask_bits[:, :, None] >> shifts[None, None, :]) & 1).astype(bool)
+        m0 = m0.reshape(half, -1)[:, : h * w].reshape(half, h, w)
+        masks = jnp.zeros((half, k, h, w), bool).at[:, 0].set(m0)
+        valid = jnp.zeros((half, k), bool).at[:, 0].set(valid0)
+        cam_pos = jnp.concatenate(
+            [xy, jnp.full((half, 1), cfg.camera.camera_height, xy.dtype)], axis=1
+        )
+        tf = jax.vmap(xyz_yaw_to_tf_matrix)(cam_pos, heading)
+        obs = itm.Observation(
+            depth=depth, tf_camera_to_episodic=tf,
+            robot_xy=xy, robot_heading=heading,
+        )
+        keys = jax.vmap(
+            lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
+        )(seeds, steps)
+        actions, infos, gs2 = jax.vmap(one)(gs, obs, cos, masks, valid, keys)
+        return actions, infos.target_detected, infos.goal, gs2
 
     lane_info = [_Lane(stairs=TraveledStairs()) for _ in range(lanes)]
     results: Dict[int, M.EpisodeResult] = {}
@@ -465,10 +496,8 @@ def run_episodes_farm(
                 o = unpack_obs(payload, h, w, rgb=want_rgb,
                                mask=perception is None, depth_u16=depth_u16,
                                rgb_half=rgb_half)
-                if depth_u16 and fused is None:
-                    # only the fused program dequantizes on device; host-side
-                    # consumers need f32
-                    o["depth"] = o["depth"].astype(np.float32) / 65535.0
+                # both dispatch programs (fused model stack / oracle_fused)
+                # dequantize u16 depth on device — no host-side conversion
                 li = lane_info[o["lane"]]
                 if o["seed"] != li.seed:  # recycled: new episode on this lane
                     # stash the finished episode's taxonomy accumulators — its
@@ -573,48 +602,42 @@ def run_episodes_farm(
                 jnp.asarray(seeds_b), jnp.asarray(steps_b),
             )
         else:
-            obs_rows, reset_mask, rngs, cos, rgb_rows = [], [], [], [], []
-            masks_np = np.zeros((half, k, h, w), bool)
-            valid_np = np.zeros((half, k), bool)
+            # oracle path (perception=None): env cosine/target-mask, ONE
+            # fused program per dispatch — see oracle_fused above
+            depth_b = np.empty((half, h, w),
+                               np.uint16 if depth_u16 else np.float32)
+            heading_b = np.empty((half,), np.float32)
+            xy_b = np.empty((half, 2), np.float32)
+            cos_b = np.zeros((half, cfg.value_channels), np.float32)
+            bits_b = np.zeros((half, (h * w + 7) // 8), np.uint8)
+            valid0_b = np.zeros((half,), bool)
+            seeds_b = np.zeros((half,), np.int32)
+            steps_b = np.zeros((half,), np.int32)
+            reset_b = np.zeros((half,), bool)
             for j, lane in enumerate(idx):
                 li = lane_info[lane]
                 o = li.pending if li.pending is not None else li.last
                 if li.pending is not None:
                     li.stairs.update(o.get("agent_z", 0.0))
-                obs_rows.append(_obs_from_env(o, cfg))
-                reset_mask.append(li.needs_reset)
-                rngs.append(_step_key(li.seed, li.step) if li.pending is not None
-                            else _step_key(0, 0))
-                if perception is None:
-                    # oracle cosine/mask path only; with a perception stack
-                    # these are overridden below AND o["target_mask"] is None
-                    # (unpacked with mask=False) — assigning it would be
-                    # silently coerced to all-False by numpy
-                    cos.append(
-                        np.full((cfg.value_channels,), o["cosine"], np.float32)
-                    )
-                    if o["target_visible"]:
-                        masks_np[j, 0] = o["target_mask"]
-                        valid_np[j, 0] = True
-                if want_rgb:
-                    rgb_rows.append(o["rgb"])
+                    seeds_b[j], steps_b[j] = li.seed, li.step
+                depth_b[j] = o["depth"]
+                heading_b[j], xy_b[j] = o["heading"], o["robot_xy"]
+                cos_b[j] = o["cosine"]
+                if o["target_visible"]:
+                    bits_b[j] = np.packbits(o["target_mask"])
+                    valid0_b[j] = True
+                reset_b[j] = li.needs_reset
                 meta.append((lane, li.seed, li.step, li.pending is not None))
                 li.last = o
                 li.needs_reset = False
                 li.pending = None
-            if any(reset_mask):
-                gstate[g] = reset_lanes(gstate[g], jnp.asarray(np.array(reset_mask)))
-            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *obs_rows)
-            if perception is not None:
-                # unfused model stack (VQA-veto configurations)
-                cos_b, masks_b, valid_b = perception.batch(np.stack(rgb_rows), target)
-            else:
-                cos_b = jnp.asarray(np.stack(cos))
-                masks_b, valid_b = jnp.asarray(masks_np), jnp.asarray(valid_np)
-            actions, infos, gstate[g] = step_fn(
-                gstate[g], stacked, cos_b, masks_b, valid_b, jnp.stack(rngs),
+            actions, detected, goals, gstate[g] = oracle_fused(
+                gstate[g], fresh, jnp.asarray(reset_b),
+                jax.device_put(depth_b), jnp.asarray(heading_b),
+                jnp.asarray(xy_b), jnp.asarray(cos_b),
+                jax.device_put(bits_b), jnp.asarray(valid0_b),
+                jnp.asarray(seeds_b), jnp.asarray(steps_b),
             )
-            detected, goals = infos.target_detected, infos.goal
         inflight[g] = (actions, detected, goals, meta)
         stats.dispatches += 1
         if inflight[1 - g] is not None:
