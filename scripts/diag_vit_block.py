@@ -56,6 +56,16 @@ def make_block(attn_kind: str, ln_kind: str):
             return flash_attention_grouped_v2(q, k, v, interpret=False, group=8)
         if attn_kind == "xla":
             return attention(q, k, v)
+        if attn_kind == "bf16sm":
+            # keep the (B,H,L,L) logits tensor bf16 end-to-end: the einsum
+            # output is already bf16-rounded, so the f32 materialization
+            # only doubles the softmax stage's HBM traffic
+            d = q.shape[-1]
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.bfloat16(d**-0.5)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp((logits - m).astype(jnp.float32))
+            probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+            return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         return v  # no_core
 
     def block(x, w):
@@ -86,6 +96,7 @@ def main():
     for attn_kind, ln_kind in [
         ("v2_g8", "pallas"),
         ("xla", "pallas"),
+        ("bf16sm", "pallas"),
         ("no_core", "pallas"),
     ]:
         block = make_block(attn_kind, ln_kind)

