@@ -44,13 +44,17 @@ def cpu_devices():
 
 
 # ---------------------------------------------------------------------------
-# Suite split: the fast core (geometry/mapping/policy/adapters, < 2 min) runs
-# by default (pyproject addopts -m "not slow"); model-parity and episode-loop
-# suites are marked slow. Run everything with:  pytest -m "slow or not slow"
-# or just the slow half with:                   pytest -m slow
+# Suite split: the fast core (geometry/mapping/policy/adapters, ~200 s on the
+# 1-core dev box, 240 s enforced budget below) runs by default (pyproject
+# addopts -m "not slow"); model-parity and episode-loop suites are marked
+# slow. Run everything with:  pytest -m "slow or not slow"
+# or just the slow half with: pytest -m slow
 # ---------------------------------------------------------------------------
 SLOW_FILES = {
     "test_blip2.py",
+    "test_blip2_vqa.py",
+    "test_deform_gather.py",
+    "test_oracle_fbe.py",
     "test_weights_bundle.py",
     "test_checkpoint_and_batched.py",
     "test_detection_pipeline.py",
@@ -88,3 +92,55 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.fspath.basename in SLOW_FILES:
             item.add_marker(pytest.mark.slow)
+
+
+# ---------------------------------------------------------------------------
+# Fast-core wall-time budget (CI-style): a full default run (-m 'not slow',
+# no -k/path selection) must finish within VLFM_FAST_BUDGET_S seconds
+# (default 240 — measured ~200 s standalone on the 1-core dev box; set 0 to
+# disable, e.g. when sharing the box with a TPU bench). Keeps the fast suite
+# from silently creeping past its budget again (round-3 VERDICT weak #6).
+# ---------------------------------------------------------------------------
+_session_t0 = None
+
+
+def pytest_sessionstart(session):
+    global _session_t0
+    import time
+
+    _session_t0 = time.time()
+
+
+def _is_full_fast_run(config) -> bool:
+    if config.getoption("-m", default="") not in ("not slow", ""):
+        return False
+    if config.getoption("-k", default=""):
+        return False
+    args = [a for a in config.args if not a.startswith("-")]
+    import os
+
+    return all(os.path.basename(os.path.normpath(a)) in ("tests", ".") for a in args)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import os
+    import time
+
+    budget = float(os.environ.get("VLFM_FAST_BUDGET_S", "240") or 0)
+    if budget <= 0 or _session_t0 is None or exitstatus != 0:
+        return
+    if not _is_full_fast_run(session.config):
+        return
+    elapsed = time.time() - _session_t0
+    if elapsed > budget:
+        import pytest
+
+        session.exitstatus = 1
+        tr = session.config.pluginmanager.get_plugin("terminalreporter")
+        msg = (
+            f"fast suite took {elapsed:.0f}s > budget {budget:.0f}s — re-mark "
+            f"the creep into slow (tests/conftest.py SLOW_FILES) or raise "
+            f"VLFM_FAST_BUDGET_S"
+        )
+        if tr is not None:
+            tr.write_line("FAST-SUITE BUDGET EXCEEDED: " + msg, red=True)

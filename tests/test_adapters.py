@@ -48,6 +48,7 @@ def test_habitat_adapter_builds_observation():
     assert "|" not in mp.non_coco_caption
 
 
+@pytest.mark.slow  # episode loop, ~24 s — out of the fast-core budget
 def test_habitat_agent_full_loop():
     cfg = VLFMConfig(camera=CameraConfig(height=48, width=64))
     spec = GridSpec2D(size=256, pixels_per_meter=20, pad=160)
