@@ -203,3 +203,33 @@ def test_subsample_indices_within_mask():
     for i, k in zip(np.asarray(idx), np.asarray(keep)):
         if k:
             assert flat[i]
+
+
+def test_dense_nth_set_bit_equals_bisection():
+    """The MXU reformulation of t-th-set-bit selection must be BIT-identical
+    to searchsorted over the cumsum — including chunk-boundary targets,
+    empty masks, and t == total — at sizes spanning multiple 512-lane
+    chunks (the object-map lattice is 76800 wide)."""
+    import jax
+
+    from vlfm_tpu.ops.sparse import _LANES, _nth_set_bit_dense
+
+    rng = np.random.default_rng(7)
+    for n, density in [(76800, 0.03), (76800, 0.6), (3072, 0.2), (100, 0.5),
+                       (2 * _LANES, 1.0), (512, 0.0)]:
+        mask = jnp.asarray(rng.random(n) < density)
+        prefix = np.cumsum(np.asarray(mask).astype(np.int64))
+        total = int(prefix[-1])
+        if total == 0:
+            continue
+        t_np = np.unique(
+            np.concatenate([
+                rng.integers(1, total + 1, 64),
+                [1, total],
+                prefix[prefix > 0][:4],  # exact chunk-prefix boundary hits
+            ])
+        ).astype(np.int32)
+        idx, tot = _nth_set_bit_dense(mask, jnp.asarray(t_np))
+        assert int(tot) == total
+        want = np.searchsorted(prefix, t_np, side="left")
+        np.testing.assert_array_equal(np.asarray(idx), want)
