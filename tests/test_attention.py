@@ -65,6 +65,38 @@ def test_bf16_softmax_drift_bound():
     assert np.abs(got - want).mean() < 2e-3
 
 
+def test_bf16_logits_path_gated_to_vit_trunk(monkeypatch):
+    """The bf16-logits fast path is opt-in (allow_bf16_logits): its drift
+    bound was measured on the ViT trunk only, so BertAttention callers with
+    mask=None (Q-Former cross-attention) must keep the f32-logits softmax
+    even on TPU. Simulate the TPU routing by monkeypatching
+    default_interpret to False and pin both sides of the gate."""
+    import vlfm_tpu.models.layers as layers_mod
+    import vlfm_tpu.ops.backend as backend_mod
+
+    monkeypatch.setattr(backend_mod, "default_interpret", lambda: False)
+    monkeypatch.delenv("VLFM_ATTN_F32SM", raising=False)
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (
+        jax.random.normal(kk, (1, 8, 64, 32)).astype(jnp.bfloat16) for kk in ks
+    )
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / jnp.sqrt(d)
+    f32_path = jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1).astype(q.dtype), v
+    )
+    # default (BertAttention-style) call: f32 logits even with mask=None
+    np.testing.assert_array_equal(
+        np.asarray(attention(q, k, v), np.float32), np.asarray(f32_path, np.float32)
+    )
+    # ViT-trunk call: routed to the measured bf16-logits kernel
+    np.testing.assert_array_equal(
+        np.asarray(attention(q, k, v, allow_bf16_logits=True), np.float32),
+        np.asarray(layers_mod.attention_bf16_softmax(q, k, v), np.float32),
+    )
+
+
 @pytest.mark.parametrize(
     "b,h,l,d,group",
     [(2, 2, 64, 32, 2), (1, 16, 257, 88, 8), (2, 4, 130, 16, None)],

@@ -215,8 +215,12 @@ def test_dense_nth_set_bit_equals_bisection():
     from vlfm_tpu.ops.sparse import _LANES, _nth_set_bit_dense
 
     rng = np.random.default_rng(7)
+    # The 1638400 case exercises counts ~1e6, far beyond bf16's integer
+    # range: it pins that the exclusive-chunk-prefix fetch stays a gather
+    # (exact) and never regresses to a default-precision matvec, which on
+    # TPU truncates inputs to bf16 and shifts indices by hundreds.
     for n, density in [(76800, 0.03), (76800, 0.6), (3072, 0.2), (100, 0.5),
-                       (2 * _LANES, 1.0), (512, 0.0)]:
+                       (2 * _LANES, 1.0), (512, 0.0), (1638400, 0.9)]:
         mask = jnp.asarray(rng.random(n) < density)
         prefix = np.cumsum(np.asarray(mask).astype(np.int64))
         total = int(prefix[-1])

@@ -56,7 +56,14 @@ def _rank_select(dists: jnp.ndarray, use: jnp.ndarray) -> jnp.ndarray:
     """Index of the reference's no-dbscan representative point
     (object_point_cloud_map.py:165-189): the median of the nearest 25% of
     points — rank floor(n/4)//2 in distance order (rank 0 when n < 4).
-    Invalid points sort last via +inf."""
+    Invalid points sort last via +inf.
+
+    Documented divergence for n < 4: the reference's IndexError fallback
+    (object_point_cloud_map.py:184-187) returns cloud[0] — the first point
+    in INSERTION order — whereas rank 0 here is the CLOSEST point. Insertion
+    order is not reproducible under the slot/subsample redesign, so the
+    closest point is the deterministic stand-in; 1-3-point clouds may pick a
+    different representative than the reference."""
     order = jnp.argsort(jnp.where(use, dists, jnp.inf))
     n = use.sum(dtype=jnp.int32)
     rank = jnp.where(n // 4 > 0, (n // 4) // 2, 0)

@@ -51,7 +51,7 @@ class LayerNormF32(nn.Module):
         return FastLayerNorm(self.epsilon, name="ln")(x)
 
 
-def attention(q, k, v, mask: Optional[jnp.ndarray] = None):
+def attention(q, k, v, mask: Optional[jnp.ndarray] = None, allow_bf16_logits: bool = False):
     """(B, H, Lq, D) x (B, H, Lk, D) -> (B, H, Lq, D).
 
     TPU serving keeps the (B, H, Lq, Lk) logits tensor bf16 end-to-end
@@ -60,8 +60,12 @@ def attention(q, k, v, mask: Optional[jnp.ndarray] = None):
     stage's HBM traffic — the dominant non-matmul cost of the ViT-g trunk
     (measured 138.4 -> 126.9 ms for the 39-block trunk at B=32 L=257,
     scripts/diag_vit_block.py; drift bound pinned in tests/test_attention).
-    CPU/interpret runs keep the f32-logits softmax so HF-parity tests bind
-    tightly; VLFM_ATTN_F32SM=1 forces it on TPU for A/Bs.
+    The fast path is OPT-IN via allow_bf16_logits: it was measured (and its
+    drift bound pinned) on the ViT trunk, so only FusedQKVAttention enables
+    it — BertAttention callers with mask=None (e.g. Q-Former cross-attention)
+    keep the f32-logits softmax. CPU/interpret runs keep f32 logits so
+    HF-parity tests bind tightly; VLFM_ATTN_F32SM=1 forces f32 on TPU for
+    A/Bs.
     """
     import os
 
@@ -69,7 +73,8 @@ def attention(q, k, v, mask: Optional[jnp.ndarray] = None):
     from vlfm_tpu.ops.backend import default_interpret
 
     if (
-        mask is None
+        allow_bf16_logits
+        and mask is None
         and q.dtype == jnp.bfloat16
         and not default_interpret()
         and not os.environ.get("VLFM_ATTN_F32SM")
@@ -131,7 +136,7 @@ class FusedQKVAttention(nn.Module):
 
         kind = __import__("os").environ.get("VLFM_VIT_ATTN", "xla")
         if default_interpret() or kind == "xla":
-            out = attention(q, k, v)
+            out = attention(q, k, v, allow_bf16_logits=True)
         elif kind == "grouped_v2":
             from vlfm_tpu.ops.attention import flash_attention_grouped_v2
 

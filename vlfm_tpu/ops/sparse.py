@@ -56,8 +56,15 @@ def _nth_set_bit_dense(mask_flat: jnp.ndarray, targets: jnp.ndarray):
     chunk_id = (
         (chunk_prefix[None, :] < tf_[:, None]).sum(axis=1).astype(jnp.int32)
     )
-    onehot = jax.nn.one_hot(jnp.minimum(chunk_id, c - 1), c, dtype=jnp.float32)
-    base = onehot @ (chunk_prefix - row_sums)  # exclusive prefix at the chunk
+    safe_chunk = jnp.minimum(chunk_id, c - 1)
+    onehot = jax.nn.one_hot(safe_chunk, c, dtype=jnp.float32)
+    # Exclusive prefix at the chunk: MUST be a gather, not a matvec. On TPU,
+    # default-precision f32 matmuls truncate inputs to bf16, and chunk_prefix
+    # holds counts up to ~1.6M on frontier grids — not bf16-representable —
+    # which would silently break the bit-identical contract. The onehot@rows
+    # and row@tri matmuls below are safe (operands are exactly 0/1 with f32
+    # accumulation).
+    base = (chunk_prefix - row_sums)[safe_chunk]  # (T,) gather, exact
     row = onehot @ rows  # (T, LANES) 0/1
     tri = jnp.triu(jnp.ones((_LANES, _LANES), jnp.float32))
     row_prefix = row @ tri  # inclusive in-row prefix, exact f32
