@@ -92,6 +92,41 @@ def test_farm_full_stack_rgb_half_transport():
 
 
 @needs_native
+def test_farm_beyond_capacity_sam_burst_changes_no_action():
+    """Density-adaptive gated SAM at episode level (VERDICT r4 task #2):
+    FullStackPerception's default det_threshold of 0.0 makes every lane
+    detect every step — a sustained beyond-capacity detection burst at
+    sam_frame_capacity=1 over 2 lanes (ceil(2/1)=2 SAM passes per dispatch).
+    The multi-pass gated path must change NO decision vs the ungated
+    pipeline: identical steps, success, SPL, and taxonomy per episode."""
+    import dataclasses
+
+    seeds = [0, 1, 2]
+    cfg_gated = dataclasses.replace(CFG, sam_frame_capacity=1)
+    # same seeds -> identical random weights in both perceptions
+    p_gated = FullStackPerception(cfg_gated)
+    p_plain = FullStackPerception(CFG)
+    farm_g, _ = sim_farm.run_episodes_farm(
+        seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=cfg_gated,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        ring_prefix="vlfm_test_farm_sgate", perception=p_gated,
+    )
+    farm_p, _ = sim_farm.run_episodes_farm(
+        seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        ring_prefix="vlfm_test_farm_splain", perception=p_plain,
+    )
+    assert set(farm_g) == set(farm_p) == set(seeds)
+    for s in seeds:
+        a, b = farm_g[s], farm_p[s]
+        assert a.steps == b.steps, f"seed {s}: gated SAM changed the trajectory"
+        assert a.success == b.success, f"seed {s}: success diverged"
+        assert abs(a.spl - b.spl) < 1e-6, f"seed {s}: spl diverged"
+        assert a.target_detected == b.target_detected, f"seed {s}"
+        assert a.failure_cause == b.failure_cause, f"seed {s}: taxonomy diverged"
+
+
+@needs_native
 def test_farm_full_stack_vqa_fused_matches_single():
     """VQA-veto configuration at fused-dispatch speed (round-3 VERDICT item
     #5): the farm's ONE-program dispatch threads the T5 + BLIP2-bridge params

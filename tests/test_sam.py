@@ -106,10 +106,12 @@ def test_segment_boxes_shapes():
     assert masks.dtype == bool
 
 
-def test_segment_boxes_gated_matches_ungated_within_capacity():
-    """SAM frame-gating (VERDICT round-2 item #4): frames with detections are
-    compacted to a capacity sub-batch; outputs match the ungated path for
-    kept frames, and frames beyond capacity are dropped with valid cleared."""
+def test_segment_boxes_gated_matches_ungated_at_any_density():
+    """Density-adaptive SAM frame-gating (VERDICT round-4 task #2): frames
+    with detections are compacted and segmented in ceil(dense/capacity)
+    passes of a static capacity-frame sub-batch. NO detection is dropped at
+    any density — outputs match the ungated path on every detection frame,
+    even when detection frames outnumber the capacity."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -128,16 +130,22 @@ def test_segment_boxes_gated_matches_ungated_within_capacity():
 
     full, _ = sam.segment_boxes(imgs, boxes, fused=False)
     gated, kept = sam.segment_boxes_gated(imgs, boxes, valid, capacity=3, fused=False)
-    # all three detection frames fit the capacity: identical masks there
+    # all three detection frames fit one pass: identical masks there
     for i in (0, 2, 4):
         np.testing.assert_array_equal(np.asarray(gated[i]), np.asarray(full[i]))
     np.testing.assert_array_equal(np.asarray(kept), np.asarray(valid))
     # no-detection frames come back all-false
     assert not np.asarray(gated[1]).any() and not np.asarray(gated[3]).any()
 
-    # capacity 2 drops one detection frame (the last in stable order)
+    # capacity 2 < 3 detection frames: a second pass picks up the overflow
+    # frame; NOTHING drops (the pre-round-5 path cleared frame 4 here)
     gated2, kept2 = sam.segment_boxes_gated(imgs, boxes, valid, capacity=2, fused=False)
-    np.testing.assert_array_equal(np.asarray(kept2[0]), np.asarray(valid[0]))
-    np.testing.assert_array_equal(np.asarray(kept2[2]), np.asarray(valid[2]))
-    assert not np.asarray(kept2[4]).any(), "frame beyond capacity must drop"
-    np.testing.assert_array_equal(np.asarray(gated2[0]), np.asarray(full[0]))
+    np.testing.assert_array_equal(np.asarray(kept2), np.asarray(valid))
+    for i in (0, 2, 4):
+        np.testing.assert_array_equal(np.asarray(gated2[i]), np.asarray(full[i]))
+
+    # 100% density with capacity 2 => 3 passes, still exact everywhere
+    dense = jnp.ones((b, nb), bool)
+    gated3, kept3 = sam.segment_boxes_gated(imgs, boxes, dense, capacity=2, fused=False)
+    np.testing.assert_array_equal(np.asarray(kept3), np.asarray(dense))
+    np.testing.assert_array_equal(np.asarray(gated3), np.asarray(full))

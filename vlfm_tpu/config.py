@@ -85,9 +85,11 @@ class VLFMConfig:
     max_frontiers: int = 32
     max_frontier_cells: int = 512
     max_detections_per_frame: int = 8
-    # Frames-per-batch cap for SAM segmentation (None = every frame): the
-    # batched analogue of the reference running SAM only on frames with
-    # detections (base_objectnav_policy.py:311-321); see
+    # Frames-per-pass SAM sub-batch size (None = every frame in one call):
+    # detection frames segment in ceil(dense/capacity) passes, so cost
+    # tracks density and no detection drops — the batched analogue of the
+    # reference running SAM only on frames with detections
+    # (base_objectnav_policy.py:311-321); see
     # DetectionPipeline.sam_frame_capacity.
     sam_frame_capacity: Optional[int] = None
     object_map_slots: int = 64

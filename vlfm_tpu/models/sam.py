@@ -521,8 +521,7 @@ class SAM:
         return cls(cfg, params)
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("module", "fused"))
-    def _segment(module, params, images, boxes01, fused=False):
+    def _segment_impl(module, params, images, boxes01, fused=False):
         if fused:
             from vlfm_tpu.models.tinyvit_fast import encode_fused
 
@@ -536,6 +535,11 @@ class SAM:
             )
         masks, iou = module.apply({"params": params}, images, boxes01)
         return masks, iou
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("module", "fused"))
+    def _segment(module, params, images, boxes01, fused=False):
+        return SAM._segment_impl(module, params, images, boxes01, fused)
 
     def segment_boxes(self, images, boxes01, multimask_output: bool = False,
                       fused: bool = None):
@@ -560,6 +564,44 @@ class SAM:
             sel = masks[:, :, 0]
         return sel > 0.0, iou
 
+    @staticmethod
+    @partial(jax.jit, static_argnames=("module", "capacity", "fused", "multimask"))
+    def _segment_gated(module, params, images, boxes01, frame_valid,
+                       capacity: int, fused: bool, multimask: bool):
+        b, nb = frame_valid.shape
+        has = frame_valid.any(axis=1)  # (B,)
+        order = jnp.argsort(~has, stable=True)  # detection frames first
+        n_has = has.sum(dtype=jnp.int32)
+        g4 = 4 * module.cfg.vision.grid
+        max_passes = -(-b // capacity)
+
+        def run_pass(sel):
+            masks, iou = SAM._segment_impl(
+                module, params, images[sel], boxes01[sel], fused
+            )
+            if multimask:
+                best = jnp.argmax(iou[..., 1:], axis=-1) + 1
+                masks = jnp.take_along_axis(
+                    masks, best[..., None, None, None], axis=2
+                )[:, :, 0]
+            else:
+                masks = masks[:, :, 0]
+            return masks > 0.0
+
+        def body(p, acc):
+            def work(acc):
+                # dynamic_slice clamps the final pass's window to the batch
+                # end; any re-gathered frames recompute identical masks.
+                sel = jax.lax.dynamic_slice_in_dim(order, p * capacity, capacity)
+                return acc.at[sel].set(run_pass(sel))
+
+            return jax.lax.cond(p * capacity < n_has, work, lambda a: a, acc)
+
+        masks = jax.lax.fori_loop(
+            0, max_passes, body, jnp.zeros((b, nb, g4, g4), bool)
+        )
+        return masks
+
     def segment_boxes_gated(
         self,
         images,
@@ -569,29 +611,39 @@ class SAM:
         multimask_output: bool = False,
         fused: bool = None,
     ):
-        """segment_boxes on a compacted sub-batch: frames with >=1 valid
-        detection are gathered (static shape) into a ``capacity``-frame batch
-        before encode+decode, and the masks scattered back. SAM cost then
-        scales with the configured detection capacity instead of the episode
-        batch — the batched analogue of the reference paying SAM only on
-        frames with detections (base_objectnav_policy.py:311-321). Frames
-        with detections beyond the capacity are DROPPED (their valid flags
-        cleared), a documented cap like max_detections.
+        """segment_boxes with density-adaptive compaction: frames holding
+        >=1 valid detection are sorted first, then segmented in
+        ``ceil(n_detection_frames / capacity)`` passes of a static
+        ``capacity``-frame sub-batch inside one jitted ``lax.fori_loop``
+        (passes past the detection count are skipped by ``lax.cond``, so
+        device cost scales with realized detection density). No detection is
+        ever dropped — the true batched analogue of the reference paying SAM
+        exactly once per detection (base_objectnav_policy.py:311-321); a
+        detection-dense step simply pays more passes, up to the ungated cost
+        at 100% density.
 
         ``frame_valid``: (B, NB) bool. Returns (masks (B, NB, 4G, 4G) bool,
-        kept_valid (B, NB)).
+        kept_valid (B, NB) == frame_valid — kept for call-site compatibility).
+
+        Numerics: on CPU the masks equal the ungated path's bit-for-bit
+        (pinned in tests/test_sam.py). On TPU, O(0.1-1%) of boundary pixels
+        can flip at the 0.0 logit threshold whenever capacity != B, because
+        XLA's tiling/fusion — and therefore bf16 rounding — varies with the
+        compiled batch size; measured on-chip, plain ``segment_boxes`` at
+        B=2 vs a B=8 slice shows the same ~0.1% flips, so this is inherent
+        batch-size sensitivity, not a gating artifact (capacity == B is
+        bit-identical). Frames without detections that share a pass window
+        may get masks written; ``valid`` gates them downstream, as in the
+        ungated path.
         """
-        b, nb = frame_valid.shape
-        has = frame_valid.any(axis=1)  # (B,)
-        order = jnp.argsort(~has, stable=True)  # detection frames first
-        sel = order[:capacity]
-        masks_sub, _ = self.segment_boxes(
-            images[sel], boxes01[sel], multimask_output, fused
+        if fused is None:
+            fused = self.cfg.tinyvit is not None and jax.default_backend() == "tpu"
+        masks = self._segment_gated(
+            self.module, self.params, images, boxes01, frame_valid,
+            capacity=int(capacity), fused=bool(fused),
+            multimask=bool(multimask_output),
         )
-        g = masks_sub.shape[-1]
-        masks = jnp.zeros((b, nb, g, g), bool).at[sel].set(masks_sub)
-        kept = jnp.zeros((b,), bool).at[sel].set(has[sel])
-        return masks, frame_valid & kept[:, None]
+        return masks, frame_valid
 
 
 # ---------------------------------------------------------------------------

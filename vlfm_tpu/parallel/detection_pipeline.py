@@ -125,10 +125,12 @@ class DetectionPipeline:
     coco_threshold: float = 0.8
     non_coco_threshold: float = 0.4
     max_detections: int = 8
-    # Frames-per-batch cap for SAM (None = segment every frame). With a cap,
-    # frames holding >=1 valid detection are compacted into a capacity-sized
-    # sub-batch before encode+decode (SAM.segment_boxes_gated), so SAM cost
-    # tracks detection density — the reference runs SAM per-detection only
+    # Frames-per-pass sub-batch size for SAM (None = segment every frame in
+    # one ungated call). With a capacity, frames holding >=1 valid detection
+    # are compacted and segmented in ceil(dense/capacity) passes
+    # (SAM.segment_boxes_gated), so SAM cost tracks realized detection
+    # density and NO detection is ever dropped — the batched analogue of the
+    # reference paying SAM exactly per detection
     # (base_objectnav_policy.py:311-321).
     sam_frame_capacity: Optional[int] = None
 
