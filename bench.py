@@ -556,6 +556,19 @@ def bench_full_stack(batch: int = 32, iters: int = 5, chunk: int = 8):
         chunk_s.append(time.time() - t0)
     timings["steps_per_s_min"] = round(batch * chunk / max(chunk_s), 1)
     timings["steps_per_s_max"] = round(batch * chunk / min(chunk_s), 1)
+    # Warm bring-up (VERDICT r4 #9): drop the in-memory executables and
+    # re-build the system step — with the persistent compile cache serving,
+    # this is re-trace + cache deserialize + load, the cost a RESTARTED
+    # serving process actually pays. compile_s above is the cold cost when
+    # the disk cache misses; compile_warm_s << compile_s is the cache
+    # earning its keep.
+    jax.clear_caches()
+    t0 = time.time()
+    bs3, acts = system_chunk(
+        *params3, bstate, rgb_chunk, jnp.int32(0), jax.random.PRNGKey(4), chunk=chunk
+    )
+    _sync(acts)
+    timings["compile_warm_s"] = round(time.time() - t0, 1)
     timings.update(bench_bringup(params3))
     return batch * iters * chunk / sum(chunk_s), timings
 
@@ -563,6 +576,37 @@ def bench_full_stack(batch: int = 32, iters: int = 5, chunk: int = 8):
 # --------------------------------------------------------------------------
 # TRUE end-to-end: live envs + real models + host->device streaming
 # --------------------------------------------------------------------------
+def measure_link(size_mb: int = 4, iters: int = 4):
+    """In-band host->device link measurement (VERDICT r4 weak #1): the
+    streamed headline moves with the dev tunnel's conditions, so every BENCH
+    records the same-session bandwidth (MB/s, forced-completion device_put of
+    a size_mb buffer) and minimal-payload round-trip latency (ms). The
+    readback of one element forces the transfer to complete — on this
+    backend dispatch is fire-and-forget and unforced timings measure
+    nothing."""
+    import jax
+    import numpy as np
+
+    buf = np.random.default_rng(0).integers(0, 255, size_mb << 20, dtype=np.uint8)
+    x = jax.device_put(buf)
+    int(jax.device_get(x[:1])[0])  # warm
+    t0 = time.time()
+    for _ in range(iters):
+        x = jax.device_put(buf)
+        int(jax.device_get(x[:1])[0])
+    up_mb_s = size_mb * iters / (time.time() - t0)
+    tiny = np.zeros((8,), np.float32)
+    y = jax.device_put(tiny)
+    float(jax.device_get(y[0]))
+    t0 = time.time()
+    m = 20
+    for _ in range(m):
+        y = jax.device_put(tiny)
+        float(jax.device_get(y[0]))
+    rtt_ms = 1e3 * (time.time() - t0) / m
+    return round(up_mb_s, 1), round(rtt_ms, 2)
+
+
 def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int = 2,
                               rgb_half: bool = True, oracle: bool = True):
     """The complete serving system measured as ONE loop: worker processes run
@@ -576,9 +620,11 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
     vlfm_trainer.py:164-325).
 
     Reported alongside the device-resident headline: that number is the
-    device-compute ceiling; this one is serving reality over THIS tunnel
-    (host link measured at ~35-50 MB/s — a dev-tunnel artifact; production
-    TPU hosts attach at PCIe >= 16 GB/s).
+    device-compute ceiling; this one is serving reality over THIS tunnel.
+    The tunnel's bandwidth moves ±3x between sessions, so the link MB/s and
+    round-trip latency are measured in-band every run (measure_link) and the
+    streamed number is judged against its own session's transport ceiling —
+    production TPU hosts attach at PCIe >= 16 GB/s.
 
     Returns (steps_per_sec or None, extras).
     """
@@ -602,6 +648,10 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
 
     env_cfg = FE.EnvConfig(max_steps=max_steps)
 
+    # same-session link conditions, measured in-band BEFORE the farms so the
+    # streamed series is falsifiable against them (VERDICT r4 weak #1)
+    link_mb_s, link_rtt_ms = measure_link()
+
     # compile outside the timed farm: the 2-step warmup farm compiles the
     # ONE fused dispatch program the measured farm runs (make_fused_step's
     # per-(target, version) cache is shared across farms). Do NOT warm
@@ -612,26 +662,45 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
         list(range(lanes)), lanes=lanes, pointnav=pointnav, spec=spec, cfg=cfg,
         plan_name="two_room_plan", env_cfg=env_cfg, workers=workers,
         max_steps=2, ring_prefix="vlfm_bench_warm", perception=perception,
-        depth_u16=True, rgb_half=rgb_half,
+        depth_u16=True, rgb_half=rgb_half, depth_half=True,
     )
     warm_s = round(time.time() - t0, 1)
 
-    # compressed transport: u16 depth + 2x2-averaged rgb — the parity-faithful
-    # analogue of the reference's own lossy JPEG-q90 per-request images
-    # (server_wrapper.py:57-68); every consumer model resamples from 480x640
-    # anyway and the resample-seam drift is pinned by test
-    # (tests/test_sim_farm.py). Parity suites keep exact-f32/full-res.
+    # compressed transport: u16 HALF-RES depth + 2x2-averaged rgb — the
+    # parity-faithful analogue of the reference's own lossy JPEG-q90
+    # per-request images (server_wrapper.py:57-68); every consumer model
+    # resamples from 480x640 anyway and the resample-seam drift is pinned by
+    # test (tests/test_sim_farm.py rgb_half/depth_half drift bounds).
+    # Parity suites keep exact-f32/full-res. Full-res u16 depth was 70% of
+    # per-step tunnel bytes (VERDICT r4 #1a) — the A/B leg below keeps it
+    # for a same-session comparison.
     results, stats = sim_farm.run_episodes_farm(
         [100 + s for s in range(lanes)], lanes=lanes, pointnav=pointnav,
         spec=spec, cfg=cfg, plan_name="two_room_plan", env_cfg=env_cfg,
         workers=workers, ring_prefix="vlfm_bench_farm", perception=perception,
-        depth_u16=True, rgb_half=rgb_half,
+        depth_u16=True, rgb_half=rgb_half, depth_half=True,
     )
     obs_bytes = sim_farm.obs_slot_bytes(
-        env_cfg.height, env_cfg.width, rgb=True, depth_u16=True, rgb_half=rgb_half)
+        env_cfg.height, env_cfg.width, rgb=True, depth_u16=True,
+        rgb_half=rgb_half, depth_half=True)
+    tunnel_mb_step = stats.bytes_put / max(stats.env_steps, 1) / 1e6
+    ceiling = link_mb_s / tunnel_mb_step if tunnel_mb_step else None
     extras = {
         "streamed_env_steps": stats.env_steps,
         "streamed_warmup_s": warm_s,
+        # same-session link conditions + the transport ceiling they imply:
+        # the streamed number is judged against ITS OWN session's ceiling
+        # (streamed_frac_of_transport_ceiling), not a remembered bandwidth
+        "streamed_link_mb_per_s": link_mb_s,
+        "streamed_link_rtt_ms": link_rtt_ms,
+        "streamed_tunnel_mb_per_step": round(tunnel_mb_step, 3),
+        "streamed_transport_ceiling_steps_per_s": (
+            round(ceiling, 1) if ceiling else None
+        ),
+        "streamed_frac_of_transport_ceiling": (
+            round(stats.steps_per_sec / ceiling, 2) if ceiling else None
+        ),
+        "streamed_put_block_s": round(stats.t_put, 1),
         "streamed_obs_mb_per_step": round(obs_bytes / 1e6, 2),
         "streamed_obs_mb_per_s": round(stats.env_steps * obs_bytes / 1e6 / stats.wall_time, 1),
         "streamed_overlapped_frac": round(stats.overlapped / max(stats.dispatches, 1), 2),
@@ -647,30 +716,58 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
         ),
     }
 
+    # Same-session A/B: the round-4 transport (full-res u16 depth) under
+    # THIS session's link, isolating the depth-halving lever from session
+    # bandwidth variance. Short run; its fused program differs only in the
+    # depth input shape, so it compiles in its own 2-step warmup farm first.
+    sim_farm.run_episodes_farm(
+        list(range(lanes)), lanes=lanes, pointnav=pointnav, spec=spec, cfg=cfg,
+        plan_name="two_room_plan", env_cfg=env_cfg, workers=workers,
+        max_steps=2, ring_prefix="vlfm_bench_abw", perception=perception,
+        depth_u16=True, rgb_half=rgb_half,
+    )
+    ab_res, ab_stats = sim_farm.run_episodes_farm(
+        [300 + s for s in range(lanes)], lanes=lanes, pointnav=pointnav,
+        spec=spec, cfg=cfg, plan_name="two_room_plan",
+        env_cfg=FE.EnvConfig(max_steps=12), workers=workers,
+        ring_prefix="vlfm_bench_ab", perception=perception,
+        depth_u16=True, rgb_half=rgb_half,
+    )
+    extras["streamed_steps_per_s_fullres_depth"] = round(ab_stats.steps_per_sec, 1)
+    extras["streamed_fullres_tunnel_mb_per_step"] = round(
+        ab_stats.bytes_put / max(ab_stats.env_steps, 1) / 1e6, 3
+    )
+
     if oracle:
         # success>0 evidence through the SAME shm-ring + batched-dispatch
         # farm: perception=None routes the env's oracle cosines/target-masks
         # over the ring (the fused oracle_fused program — packed mask bits,
-        # u16 depth, one call per dispatch) and pointnav='greedy' replaces
-        # the random-init network (the air-gapped stand-ins for trained VLM
-        # / pointnav checkpoints, neither of which is in this image) with a
-        # budget that clears the 11-step init spin plus cross-room travel.
+        # u16 half-res depth, one call per dispatch) and pointnav='greedy'
+        # replaces the random-init network with a budget that clears the
+        # 11-step init spin plus cross-room travel. This row doubles as the
+        # near-minimal-payload DISPATCH-FLOOR measurement: its tunnel bytes
+        # per step are recorded so the floor is attributable to latency vs
+        # bytes (VERDICT r4 weak #7).
         orc_cfg = FE.EnvConfig(max_steps=120)
         sim_farm.run_episodes_farm(  # compile oracle_fused outside the timing
             list(range(lanes)), lanes=lanes, pointnav="greedy", spec=spec,
             cfg=cfg, plan_name="two_room_plan", env_cfg=orc_cfg, max_steps=2,
             workers=workers, ring_prefix="vlfm_bench_orcw", depth_u16=True,
+            depth_half=True,
         )
         oracle_res, oracle_stats = sim_farm.run_episodes_farm(
             [200 + s for s in range(lanes)], lanes=lanes, pointnav="greedy",
             spec=spec, cfg=cfg, plan_name="two_room_plan",
             env_cfg=orc_cfg, workers=workers,
-            ring_prefix="vlfm_bench_orc", depth_u16=True,
+            ring_prefix="vlfm_bench_orc", depth_u16=True, depth_half=True,
         )
         extras["streamed_oracle_success_rate"] = round(
             sum(r.success for r in oracle_res.values()) / max(len(oracle_res), 1), 3
         )
         extras["streamed_oracle_steps_per_s"] = round(oracle_stats.steps_per_sec, 1)
+        extras["streamed_oracle_tunnel_mb_per_step"] = round(
+            oracle_stats.bytes_put / max(oracle_stats.env_steps, 1) / 1e6, 3
+        )
     return stats.steps_per_sec, extras
 
 
@@ -691,10 +788,13 @@ def main() -> None:
                     "device-compute ceiling); streamed_steps_per_s is the same "
                     "stack as ONE live system — worker-process envs, 480x640 "
                     "RGBD streamed host->device every step, actions back — over "
-                    "a dev tunnel measured at ~35-50 MB/s (production hosts "
-                    "attach at PCIe >=16 GB/s); vs_baseline anchors on an "
-                    "OPTIMISTIC 3 steps/s trace-estimate of the reference's "
-                    "single-GPU HTTP server stack"
+                    "a dev tunnel whose SAME-SESSION bandwidth/latency are "
+                    "measured in-band (streamed_link_mb_per_s / "
+                    "streamed_link_rtt_ms; production hosts attach at PCIe "
+                    ">=16 GB/s), judged against its own transport ceiling "
+                    "(streamed_frac_of_transport_ceiling); vs_baseline anchors "
+                    "on an OPTIMISTIC 3 steps/s trace-estimate of the "
+                    "reference's single-GPU HTTP server stack"
                 ),
                 "value": round(full, 3),
                 "unit": "env-steps/sec/chip",

@@ -83,6 +83,7 @@ SLOW_FILES = {
     "test_reality_policy.py",
     "test_habitat_loop.py",
     "test_habitat_env.py",
+    "test_imitation.py",
 }
 
 

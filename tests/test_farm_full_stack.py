@@ -73,22 +73,25 @@ def test_farm_full_stack_matches_single_episode():
 
 
 @needs_native
-def test_farm_full_stack_rgb_half_transport():
-    """Compressed rgb transport (2x2 box average on the worker) runs the
-    full-stack farm end to end. Decisions may drift within the pinned bound
-    (tests/test_sim_farm.py::test_rgb_half_drift_bound) — the exact-transport
-    configuration above stays the equality-pinned default."""
+def test_farm_full_stack_compressed_transport():
+    """Compressed transport (2x2-averaged rgb AND depth on the worker, u16
+    depth) runs the full-stack farm end to end — the bench's streamed
+    serving configuration. Decisions may drift within the pinned bounds
+    (tests/test_sim_farm.py::test_rgb_half_drift_bound /
+    test_depth_half_drift_bound) — the exact-transport configuration above
+    stays the equality-pinned default."""
     seeds = [0, 1]
     perception = FullStackPerception(CFG)
     farm, stats = sim_farm.run_episodes_farm(
         seeds, lanes=2, pointnav="greedy", spec=SPEC, cfg=CFG,
         plan_name="open_room_plan", env_cfg=ENV, workers=2,
         ring_prefix="vlfm_test_farm_rgbh", perception=perception,
-        depth_u16=True, rgb_half=True,
+        depth_u16=True, rgb_half=True, depth_half=True,
     )
     assert set(farm) == set(seeds)
     assert stats.env_steps == sum(r.steps for r in farm.values())
     assert all(r.steps > 0 for r in farm.values())
+    assert stats.bytes_put > 0 and stats.t_put > 0.0
 
 
 @needs_native

@@ -1,0 +1,80 @@
+"""Success through the REAL PointNav network (VERDICT r4 task #3).
+
+No trained pointnav checkpoint ships in this image, so navigation-success
+evidence is produced air-gapped: behavior-clone the deterministic greedy
+controller into the real deployed architecture (ResNet18-GN + 2-layer LSTM,
+models/pointnav.py — the reference's only action producer,
+/root/reference/vlfm/policy/utils/pointnav_policy.py:51-121), then run
+full episodes where the NETWORK FORWARD produces every pointnav action and
+assert success > 0. The greedy controller remains the upper-bound row.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from vlfm_tpu.config import CameraConfig, VLFMConfig  # noqa: E402
+from vlfm_tpu.mapping.grid import GridSpec2D  # noqa: E402
+from vlfm_tpu.runner import imitation as IM  # noqa: E402
+from vlfm_tpu.runner.fake_env import EnvConfig, FakeObjectNavEnv, open_room_plan  # noqa: E402
+
+# small camera + matching pointnav input resolution keep the ResNet forward
+# CPU-tractable; the architecture (ResNet18-GN + LSTM + categorical head) is
+# the production one — only the input resolution differs from the 224x224
+# deployment default, which is a config field in both frameworks
+DEPTH_SHAPE = (48, 64)
+CFG = VLFMConfig(camera=CameraConfig(height=48, width=64),
+                 depth_image_shape=DEPTH_SHAPE,
+                 max_frontiers=16, max_frontier_cells=256,
+                 object_map_slots=8, object_map_points_per_slot=128)
+SPEC = GridSpec2D(size=512, pixels_per_meter=20, pad=160)
+ENV = EnvConfig(width=64, height=48, max_steps=120)
+
+
+def test_bc_learns_greedy_labels():
+    """The BC update drives teacher accuracy far above the 3-way prior on
+    held-in data — the training loop itself works."""
+    data = IM.collect_pointnav_rollouts(
+        8, seed=0, env_cfg=EnvConfig(width=64, height=48, max_steps=60),
+        depth_shape=DEPTH_SHAPE, max_steps=32,
+    )
+    assert data["valid"].sum() > 50
+    # labels cover the teacher's action set
+    hist = np.bincount(data["action"][data["valid"]], minlength=4)
+    assert hist[IM.MOVE_FORWARD] > 0 and (hist[IM.TURN_LEFT] + hist[IM.TURN_RIGHT]) > 0
+
+    from vlfm_tpu.models.pointnav import PointNavPolicy
+
+    pn = PointNavPolicy({}, discrete=True)
+    params = pn.init_params(jax.random.PRNGKey(0), depth_shape=DEPTH_SHAPE)
+    _, metrics = IM.train_pointnav_bc(
+        PointNavPolicy(params, discrete=True), data, steps=60, batch=4
+    )
+    assert metrics["accuracy"] > 0.8, metrics
+
+
+def test_episode_success_through_real_pointnav_network():
+    """End-to-end: full ObjectNav episodes where the trained ResNet18+LSTM
+    forward produces EVERY pointnav action (pointnav != 'greedy'), with
+    oracle perception routing goals — success rate must beat zero (the
+    untrained-random-weights rate)."""
+    from vlfm_tpu.runner.episode_driver import run_episode
+
+    trained, metrics = IM.fit_pointnav_to_greedy(
+        depth_shape=DEPTH_SHAPE, episodes=16, train_steps=120, batch=4,
+        env_cfg=EnvConfig(width=64, height=48, max_steps=60), max_steps=40,
+        seed=0,
+    )
+    assert metrics["accuracy"] > 0.85, metrics
+
+    succ = 0
+    episodes = 3
+    for s in range(episodes):
+        env = FakeObjectNavEnv(open_room_plan(seed=s), ENV)
+        result, _ = run_episode(env, trained, SPEC, CFG, seed=s)
+        succ += int(result.success)
+    assert succ > 0, (
+        f"0/{episodes} successes through the trained network "
+        f"(teacher accuracy {metrics['accuracy']:.2f})"
+    )

@@ -195,3 +195,115 @@ def test_rgb_half_drift_bound():
         b = np.asarray(resize_matmul(jnp.asarray(half, jnp.float32) / 255.0, 224, 224, "cubic"))
         worst = max(worst, float(np.abs(a - b).mean()))
     assert worst < 0.02, worst  # mean drift under ~2% of dynamic range
+
+
+def test_cv2_area_matches_numpy():
+    """The cv2.INTER_AREA fast path used by pack_obs must be bit-identical to
+    the numpy 2x2 box-average formulas (u8 rgb round-half-up; f32 depth exact
+    mean) — the transport format may not depend on which backend packed it."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (ENV.height, ENV.width, 3), np.uint8)
+    h2, w2 = ENV.height // 2, ENV.width // 2
+    want = ((img.astype(np.uint16).reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) + 2)
+            >> 2).astype(np.uint8)
+    got = cv2.resize(img, (w2, h2), interpolation=cv2.INTER_AREA)
+    np.testing.assert_array_equal(got, want)
+    d = rng.random((ENV.height, ENV.width), np.float32)
+    want_d = d.reshape(h2, 2, w2, 2).mean(axis=(1, 3), dtype=np.float32)
+    got_d = cv2.resize(d, (w2, h2), interpolation=cv2.INTER_AREA)
+    np.testing.assert_array_equal(got_d, want_d)
+    # and the pack_obs helpers route through the same math
+    np.testing.assert_array_equal(sim_farm._avg2x2_u8(img), want)
+    np.testing.assert_array_equal(sim_farm._avg2x2_f32(d), want_d)
+
+
+def test_obs_record_roundtrip_depth_half():
+    """Half-res depth transport (VERDICT r4 #1a): depth crosses the ring as a
+    2x2 box average (optionally u16-quantized); the device program upsamples
+    it back. Full-res u16 depth was 70% of per-step bytes."""
+    env = FakeObjectNavEnv(open_room_plan(seed=3), ENV)
+    o = env.reset()
+    rec = sim_farm.pack_obs(lane=1, seed=3, step=0, o=o, depth_u16=True,
+                            depth_half=True)
+    nb = sim_farm.obs_slot_bytes(ENV.height, ENV.width, depth_u16=True,
+                                 depth_half=True)
+    assert len(rec) <= nb
+    full = sim_farm.obs_slot_bytes(ENV.height, ENV.width, depth_u16=True)
+    assert full - nb == 2 * (ENV.height * ENV.width
+                             - (ENV.height // 2) * (ENV.width // 2))
+    back = sim_farm.unpack_obs(rec, ENV.height, ENV.width, depth_u16=True,
+                               depth_half=True)
+    assert back["depth"].shape == (ENV.height // 2, ENV.width // 2)
+    assert back["depth"].dtype == np.uint16
+    d = np.asarray(o["depth"], np.float32)
+    h2, w2 = ENV.height // 2, ENV.width // 2
+    want = d.reshape(h2, 2, w2, 2).mean(axis=(1, 3), dtype=np.float32)
+    deq = back["depth"].astype(np.float32) / 65535.0
+    assert np.abs(deq - want).max() <= 0.5 / 65535.0 + 1e-6
+
+
+def test_depth_half_drift_bound():
+    """Decision-seam drift bound for depth_half: build the obstacle map from
+    full-res depth vs the transported (2x2-avg, u16, bilinear-2x-upsampled)
+    depth on real fake-env frames and bound the differing obstacle/navigable
+    cells. The map consumes depth through cone splats at ~5 cm cells, so the
+    half-res source perturbs only cells near depth edges."""
+    import jax
+
+    from vlfm_tpu.mapping import obstacle_map as OM
+    from vlfm_tpu.ops.resize import resize_bilinear_hw
+    from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
+
+    cam = CFG.camera
+    worst_frac = 0.0
+    for seed in range(2):
+        env = FakeObjectNavEnv(open_room_plan(seed=seed), ENV)
+        o = env.reset()
+        d = jnp.asarray(np.asarray(o["depth"], np.float32))
+        h2, w2 = ENV.height // 2, ENV.width // 2
+        half = np.asarray(o["depth"], np.float32).reshape(h2, 2, w2, 2).mean(
+            axis=(1, 3), dtype=np.float32
+        )
+        q = (np.clip(half, 0, 1) * 65535.0 + 0.5).astype(np.uint16)
+        d_rec = resize_bilinear_hw(
+            jnp.asarray(q.astype(np.float32) / 65535.0), ENV.height, ENV.width
+        )
+        tf = xyz_yaw_to_tf_matrix(
+            jnp.asarray([o["robot_xy"][0], o["robot_xy"][1], cam.camera_height]),
+            jnp.asarray(o["heading"]),
+        )
+        maps = []
+        for dd in (d, d_rec):
+            st = OM.create(SPEC, max_frontiers=16)
+            st = OM.update(
+                st, SPEC, dd, tf, cam.min_depth, cam.max_depth,
+                cam.fx, cam.fy, cam.hfov,
+                min_height=CFG.min_obstacle_height,
+                max_height=CFG.max_obstacle_height,
+                area_thresh_m2=CFG.obstacle_map_area_threshold,
+                max_frontier_cells=256, max_frontiers=16,
+            )
+            maps.append(st)
+        a, b = maps
+        for name in ("obstacles", "navigable", "explored"):
+            ga, gb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            denom = max(ga.sum() + gb.sum(), 1)
+            frac = float((ga != gb).sum() / denom)
+            worst_frac = max(worst_frac, frac)
+    assert worst_frac < 0.08, worst_frac  # <8% of touched cells flip
+
+
+@needs_native
+def test_farm_depth_half_runs_episodes():
+    """Half-res depth transport completes oracle episodes end to end (the
+    exact-f32 full-res configuration stays the parity-pinned default)."""
+    farm, stats = sim_farm.run_episodes_farm(
+        list(range(4)), lanes=4, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        ring_prefix="dhalffarm", depth_u16=True, depth_half=True,
+    )
+    assert len(farm) == 4
+    assert stats.env_steps > 0
+    assert stats.bytes_put > 0 and stats.t_put > 0.0
+    assert all(r.steps > 0 for r in farm.values())

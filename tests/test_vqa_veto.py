@@ -142,3 +142,31 @@ class TestFullStackWiring:
         normal = rng.uniform(0, 1, (48, 64)).astype(np.float32)
         _, _, _, obj_depth2 = p(rgb, "toilet", normal)
         assert obj_depth2 is normal, "sensor depth must pass through untouched"
+
+
+class TestGatedVeto:
+    def test_slot_capacity_matches_dense_on_valid(self):
+        """Detection-compacted veto (VERDICT r4 #7): with slot_capacity below
+        the valid-detection count, the multi-pass gated path must agree with
+        the dense path on every VALID slot at any capacity — the analogue of
+        the reference's one-VQA-call-per-detection loop. Invalid slots are
+        False either way (valid & yes)."""
+        rng = np.random.default_rng(1)
+        b, k = 3, 2
+        rgb = jnp.asarray(rng.integers(0, 255, (b, 32, 40, 3), np.uint8))
+        masks = np.zeros((b, k, 32, 40), bool)
+        masks[:, :, 8:20, 10:25] = True
+        valid = jnp.asarray(
+            np.array([[1, 0], [1, 1], [0, 1]], bool)
+        )  # 4 valid slots of 6
+
+        veto, vqa = _veto(yes_token_id=0)
+        dense = veto(rgb, jnp.asarray(masks), valid, "toilet")
+        for cap in (1, 2, 3, 6, 8):
+            gated = VQAVeto(
+                vqa=vqa, encode_text=_tokenizer_encode, yes_token_id=0,
+                image_prefix=veto.image_prefix, slot_capacity=cap,
+            )(rgb, jnp.asarray(masks), valid, "toilet")
+            np.testing.assert_array_equal(
+                np.asarray(gated), np.asarray(dense), err_msg=f"cap={cap}"
+            )

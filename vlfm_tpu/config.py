@@ -92,6 +92,12 @@ class VLFMConfig:
     # (base_objectnav_policy.py:311-321); see
     # DetectionPipeline.sam_frame_capacity.
     sam_frame_capacity: Optional[int] = None
+    # Detection-slot sub-batch size for the VQA veto (None = dense all
+    # (frame, slot) pairs): valid detections verify in
+    # ceil(n_valid/capacity) passes, the batched analogue of the reference's
+    # one VQA call per detection (base_objectnav_policy.py:326-335); see
+    # VQAVeto.slot_capacity.
+    vqa_slot_capacity: Optional[int] = None
     object_map_slots: int = 64
     object_map_points_per_slot: int = 512
     # Full 360-degree spin: the reference's `_num_steps < 11` check is set one

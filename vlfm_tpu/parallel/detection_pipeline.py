@@ -56,6 +56,13 @@ class VQAVeto:
     image_prefix: Optional[Callable] = None
     vqa_prompt: str = "Is this "
     max_answer_tokens: int = 4
+    # Detection-compacted veto (the batched analogue of the reference paying
+    # one VQA call per detection, base_objectnav_policy.py:326-335): with a
+    # capacity, only VALID detection slots run the expensive visual-prefix +
+    # T5 path, in ceil(n_valid/capacity) passes of a static capacity-sized
+    # sub-batch (lax.fori_loop + lax.cond, same pattern as gated SAM). None
+    # keeps the dense all-slots path (parity tests pin that configuration).
+    slot_capacity: Optional[int] = None
     _q_cache: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = field(default_factory=dict)
 
     def question_for(self, phrase: str) -> str:
@@ -104,13 +111,40 @@ class VQAVeto:
             ring[..., None], red[None, None, None, None], rgb[:, None]
         )  # (B, K, H, W, 3)
         flat = annotated.reshape(b * k, *annotated.shape[2:])
-        prefix = self.image_prefix(flat) if self.image_prefix is not None else None
-        gen = self.vqa.generate(
-            ids, qmask,
-            max_new_tokens=self.max_answer_tokens,
-            prefix=prefix,
-        )
-        yes = self.vqa.answer_starts_with_yes(gen, self.yes_token_id).reshape(b, k)
+
+        def ask(images, ids_, qmask_):
+            prefix = (
+                self.image_prefix(images) if self.image_prefix is not None else None
+            )
+            gen = self.vqa.generate(
+                ids_, qmask_,
+                max_new_tokens=self.max_answer_tokens,
+                prefix=prefix,
+            )
+            return self.vqa.answer_starts_with_yes(gen, self.yes_token_id)
+
+        cap = self.slot_capacity
+        if cap is None or cap >= b * k:
+            yes = ask(flat, ids, qmask).reshape(b, k)
+            return valid & yes
+
+        # detection-compacted multi-pass: valid slots first, skip passes
+        # beyond the realized detection count
+        flatv = valid.reshape(b * k)
+        order = jnp.argsort(~flatv, stable=True)
+        n_valid = flatv.sum(dtype=jnp.int32)
+        max_passes = -(-(b * k) // cap)
+
+        def body(p, yes_acc):
+            def work(acc):
+                sel = jax.lax.dynamic_slice_in_dim(order, p * cap, cap)
+                return acc.at[sel].set(ask(flat[sel], ids[sel], qmask[sel]))
+
+            return jax.lax.cond(p * cap < n_valid, work, lambda a: a, yes_acc)
+
+        yes = jax.lax.fori_loop(
+            0, max_passes, body, jnp.zeros((b * k,), bool)
+        ).reshape(b, k)
         return valid & yes
 
 

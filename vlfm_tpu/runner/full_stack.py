@@ -137,6 +137,7 @@ class FullStackPerception:
                     else lambda rgb: bridge.image_prefix(bridge.preprocess(rgb))
                 ),
                 vqa_prompt=cfg.vqa_prompt,
+                slot_capacity=cfg.vqa_slot_capacity,
             )
 
         self.pipeline = DetectionPipeline(
@@ -210,6 +211,15 @@ class FullStackPerception:
             if depth.dtype == jnp.uint16:
                 # u16 transport (sim_farm depth_u16): dequantize on device
                 depth = depth.astype(jnp.float32) * (1.0 / 65535.0)
+            if depth.shape[-2:] != (cfg.camera.height, cfg.camera.width):
+                # depth_half transport: bilinear 2x upsample back to the
+                # camera grid on device (MXU matmul resize) — the policy step
+                # always sees (H, W)
+                from vlfm_tpu.ops.resize import resize_bilinear_hw
+
+                depth = resize_bilinear_hw(
+                    depth, cfg.camera.height, cfg.camera.width
+                )
 
             def sel(b, f):
                 m = reset_mask.reshape((-1,) + (1,) * (b.ndim - 1))
@@ -246,6 +256,7 @@ class FullStackPerception:
                     yes_token_id=v.yes_token_id, image_prefix=prefix2,
                     vqa_prompt=v.vqa_prompt,
                     max_answer_tokens=v.max_answer_tokens,
+                    slot_capacity=v.slot_capacity,
                 )
             pipe2 = DetectionPipeline(
                 det2, sam2, pipe.encode_queries, coco_detector=coco2,

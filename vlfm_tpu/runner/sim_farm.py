@@ -31,8 +31,13 @@ inputs to run_episode / run_episodes_recycled).
 Workers never import jax; by default the records carry f32 depth so device
 inputs are bit-identical to the in-process path. ``depth_u16=True`` ships
 normalized depth as u16 (1.5e-5 quantization, dequantized inside the fused
-device program) — an opt-in transport compression for bandwidth-limited
-host links; the equality-pinned parity suites run with f32.
+device program) and ``depth_half=True`` ships it 2x2-box-averaged at half
+resolution (bilinearly upsampled back inside the device program) — opt-in
+transport compressions for bandwidth-limited host links; the
+equality-pinned parity suites run with exact f32/full-res. Compression runs
+through cv2.INTER_AREA when available (bit-identical to the numpy 2x2
+formula, measured 128x faster — on a 1-core bench host the worker's pack
+CPU is part of the serving budget).
 """
 
 from __future__ import annotations
@@ -47,6 +52,30 @@ import numpy as np
 
 from vlfm_tpu.runner import fake_env as FE
 from vlfm_tpu.runner.obsring import ObservationRing
+
+try:  # optional fast path for the 2x2 box averages (exactness pinned in
+    import cv2 as _cv2  # tests/test_sim_farm.py::test_cv2_area_matches_numpy)
+except Exception:  # pragma: no cover - cv2 is present in the image
+    _cv2 = None
+
+
+def _avg2x2_u8(img: np.ndarray) -> np.ndarray:
+    """2x2 box average of (H, W, 3) uint8, round-half-up — bit-identical via
+    either backend."""
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    if _cv2 is not None:
+        return _cv2.resize(img, (w2, h2), interpolation=_cv2.INTER_AREA)
+    return (
+        (img.astype(np.uint16).reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) + 2) >> 2
+    ).astype(np.uint8)
+
+
+def _avg2x2_f32(d: np.ndarray) -> np.ndarray:
+    """Exact 2x2 mean of (H, W) float32."""
+    h2, w2 = d.shape[0] // 2, d.shape[1] // 2
+    if _cv2 is not None:
+        return _cv2.resize(d, (w2, h2), interpolation=_cv2.INTER_AREA)
+    return d.reshape(h2, 2, w2, 2).mean(axis=(1, 3), dtype=np.float32)
 
 # record kinds (worker -> driver ring)
 KIND_OBS = 0
@@ -65,9 +94,10 @@ FLAG_TARGET_VISIBLE = 2
 
 def obs_slot_bytes(
     height: int, width: int, rgb: bool = False, depth_u16: bool = False,
-    rgb_half: bool = False,
+    rgb_half: bool = False, depth_half: bool = False,
 ) -> int:
-    base = _OBS_HEAD.size + (2 if depth_u16 else 4) * height * width
+    dpx = (height // 2) * (width // 2) if depth_half else height * width
+    base = _OBS_HEAD.size + (2 if depth_u16 else 4) * dpx
     base += (height * width + 7) // 8
     px = (height // 2) * (width // 2) if rgb_half else height * width
     return base + (3 * px if rgb else 0)
@@ -75,7 +105,7 @@ def obs_slot_bytes(
 
 def pack_obs(
     lane: int, seed: int, step: int, o: dict, rgb: bool = False,
-    depth_u16: bool = False, rgb_half: bool = False,
+    depth_u16: bool = False, rgb_half: bool = False, depth_half: bool = False,
 ) -> bytes:
     flags = (FLAG_DONE if o["done"] else 0) | (
         FLAG_TARGET_VISIBLE if o["target_visible"] else 0
@@ -86,14 +116,20 @@ def pack_obs(
         float(o["distance_to_goal"]), float(o["cosine"]),
         float(o.get("agent_z", 0.0)),
     )
+    d = np.asarray(o["depth"], np.float32)
+    if depth_half:
+        # 2x2 box average at half resolution: depth was 70% of per-step
+        # bytes as full-res u16 (VERDICT r4 #1a). The fused device program
+        # bilinearly upsamples back to (H, W); the decision drift is pinned
+        # by tests/test_sim_farm.py::test_depth_half_drift_bound
+        d = _avg2x2_f32(d)
     if depth_u16:
         # normalized [0, 1] depth as u16: 1.5e-5 quantization, 2 bytes/px —
         # halves the dominant share of per-step host->device traffic on
         # bandwidth-limited links; dequantized IN the fused device program
-        d = np.asarray(o["depth"], np.float32)
         depth = (np.clip(d, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16).tobytes()
     else:
-        depth = np.ascontiguousarray(o["depth"], np.float32).tobytes()
+        depth = np.ascontiguousarray(d, np.float32).tobytes()
     mask = np.packbits(np.asarray(o["target_mask"], bool)).tobytes()
     if rgb:
         img = np.asarray(o["rgb"], np.uint8)
@@ -105,18 +141,14 @@ def pack_obs(
             # source costs a bounded cosine/detection drift
             # (tests/test_sim_farm.py::test_rgb_half_drift_bound) for 4x
             # less rgb on bandwidth-limited host links
-            h2, w2 = img.shape[0] // 2, img.shape[1] // 2
-            img = (
-                (img.astype(np.uint16).reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3))
-                 + 2) >> 2
-            ).astype(np.uint8)
+            img = _avg2x2_u8(img)
         return head + depth + mask + np.ascontiguousarray(img).tobytes()
     return head + depth + mask
 
 
 def unpack_obs(
     payload: bytes, height: int, width: int, rgb: bool = False, mask: bool = True,
-    depth_u16: bool = False, rgb_half: bool = False,
+    depth_u16: bool = False, rgb_half: bool = False, depth_half: bool = False,
 ) -> dict:
     """``mask=False`` skips the target-mask unpackbits — the perception
     (model-based) farm path never reads it, and on a 1-core host the per-
@@ -125,17 +157,15 @@ def unpack_obs(
      agent_z) = _OBS_HEAD.unpack_from(payload, 0)
     assert kind == KIND_OBS
     off = _OBS_HEAD.size
+    dh, dw = (height // 2, width // 2) if depth_half else (height, width)
     if depth_u16:
-        # returned RAW (u16): the fused path ships it to the device as-is
-        depth = np.frombuffer(payload, np.uint16, height * width, off).reshape(
-            height, width
-        )
-        off += 2 * height * width
+        # returned RAW (u16, possibly half-res): the fused path ships it to
+        # the device as-is (dequantize + upsample happen in the program)
+        depth = np.frombuffer(payload, np.uint16, dh * dw, off).reshape(dh, dw)
+        off += 2 * dh * dw
     else:
-        depth = np.frombuffer(payload, np.float32, height * width, off).reshape(
-            height, width
-        )
-        off += 4 * height * width
+        depth = np.frombuffer(payload, np.float32, dh * dw, off).reshape(dh, dw)
+        off += 4 * dh * dw
     nbits = (height * width + 7) // 8
     target_mask = None
     if mask:
@@ -190,6 +220,7 @@ def worker_main(
     want_rgb: bool = False,
     depth_u16: bool = False,
     rgb_half: bool = False,
+    depth_half: bool = False,
 ) -> None:
     """Sim worker process: owns ``lane_ids``, drains its private seed queue.
 
@@ -227,7 +258,7 @@ def worker_main(
         o = envs[lane].reset()
         seen[lane] = bool(o["target_visible"])
         t = obs_ring.push(pack_obs(lane, s, 0, o, rgb=want_rgb, depth_u16=depth_u16,
-                                   rgb_half=rgb_half))
+                                   rgb_half=rgb_half, depth_half=depth_half))
         dbg("pushed initial obs", "lane", lane, "seed", s, "ticket", t)
         active.add(lane)
 
@@ -260,7 +291,8 @@ def worker_main(
                 seen[lane] = seen[lane] or bool(o["target_visible"])
                 obs_ring.push(
                     pack_obs(lane, seed, steps[lane], o, rgb=want_rgb,
-                             depth_u16=depth_u16, rgb_half=rgb_half))
+                             depth_u16=depth_u16, rgb_half=rgb_half,
+                             depth_half=depth_half))
 
 
 @dataclass
@@ -274,6 +306,13 @@ class FarmStats:
     t_dispatch: float = 0.0  # obs stacking + perception + policy enqueue
     t_sync: float = 0.0  # blocking on device results + action pushback
     t_idle: float = 0.0  # waiting for worker observations
+    # in-band transport measurement (VERDICT r4 weak #1): bytes actually
+    # device_put over the host->device link and the wall time those puts
+    # blocked the driver — bytes_put/t_put is the measured effective link
+    # bandwidth of THIS run, recorded in every BENCH so the streamed series
+    # is falsifiable against same-session link conditions.
+    bytes_put: int = 0
+    t_put: float = 0.0
 
     @property
     def steps_per_sec(self) -> float:
@@ -315,6 +354,8 @@ def run_episodes_farm(
     target: str = "toilet",
     depth_u16: bool = False,
     rgb_half: bool = False,
+    depth_half: bool = False,
+    sharding=None,
 ):
     """Drive ``lanes`` episode lanes fed by ``workers`` sim processes.
 
@@ -326,6 +367,16 @@ def run_episodes_farm(
     itm_policy.py:191-211 + base_objectnav_policy.py:311-321 driven by
     vlfm_trainer.py:164-325). The monocular-depth all-ones trigger is not
     exercised here (synthetic depth is never all-ones).
+
+    With ``sharding`` (a ``jax.sharding.Sharding`` over the episode-batch
+    axis, e.g. ``parallel.mesh.episode_sharding(mesh)``), every device-side
+    batch — the per-group policy states and each dispatch's observation
+    arrays — is placed with that sharding, so the SAME fused dispatch
+    programs run SPMD dp-sharded over the mesh (SURVEY §7 step 9: episode
+    lanes scale over devices; XLA inserts the collectives). Results must be
+    bit-identical to the unsharded farm — asserted by
+    ``__graft_entry__.dryrun_multichip``'s farm tier. ``lanes/2`` must be
+    divisible by the mesh's data axis.
 
     Returns ({seed: EpisodeResult}, FarmStats). Requires the native obsring
     (ObservationRing.available()); callers fall back to run_episodes_recycled.
@@ -347,11 +398,13 @@ def run_episodes_farm(
     groups = [list(range(0, half)), list(range(half, lanes))]
 
     want_rgb = perception is not None
-    assert not rgb_half or (h % 2 == 0 and w % 2 == 0), "rgb_half needs even dims"
+    assert not (rgb_half or depth_half) or (h % 2 == 0 and w % 2 == 0), (
+        "half-res transport needs even dims"
+    )
     obs_ring = ObservationRing.create(
         f"{ring_prefix}_obs",
         slot_bytes=obs_slot_bytes(h, w, rgb=want_rgb, depth_u16=depth_u16,
-                                  rgb_half=rgb_half),
+                                  rgb_half=rgb_half, depth_half=depth_half),
         n_slots=4 * lanes + 16,
     )
     act_ring = ObservationRing.create(
@@ -396,6 +449,7 @@ def run_episodes_farm(
                     f"{ring_prefix}_obs", f"{ring_prefix}_act",
                     [int(x) for x in lane_spans[wi]], seed_splits[wi],
                     plan_name, env_cfg, limit, want_rgb, depth_u16, rgb_half,
+                    depth_half,
                 ),
                 daemon=True,
             )
@@ -409,7 +463,13 @@ def run_episodes_farm(
 
     base = itm.create_state(spec, cfg)
     fresh = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (half, *x.shape)), base)
-    gstate = [jax.tree_util.tree_map(jnp.copy, fresh) for _ in range(2)]
+    if sharding is not None:
+        _put = lambda x: jax.device_put(x, sharding)  # noqa: E731
+        fresh = jax.tree_util.tree_map(_put, fresh)
+        gstate = [jax.tree_util.tree_map(_put, fresh) for _ in range(2)]
+    else:
+        _put = jax.device_put
+        gstate = [jax.tree_util.tree_map(jnp.copy, fresh) for _ in range(2)]
 
     # The fused dispatch: perception + resets + policy as ONE jitted call per
     # group (the unfused path made ~140 tiny eager device calls per dispatch
@@ -445,6 +505,12 @@ def run_episodes_farm(
                      mask_bits, valid0, seeds, steps):
         if depth.dtype == jnp.uint16:
             depth = depth.astype(jnp.float32) * (1.0 / 65535.0)
+        if depth.shape[-2:] != (h, w):
+            # depth_half transport: bilinear 2x upsample back to the camera
+            # grid, on device (MXU matmul resize)
+            from vlfm_tpu.ops.resize import resize_bilinear_hw
+
+            depth = resize_bilinear_hw(depth, h, w)
 
         def sel(b, f):
             m = reset_mask.reshape((-1,) + (1,) * (b.ndim - 1))
@@ -495,7 +561,7 @@ def run_episodes_farm(
             else:
                 o = unpack_obs(payload, h, w, rgb=want_rgb,
                                mask=perception is None, depth_u16=depth_u16,
-                               rgb_half=rgb_half)
+                               rgb_half=rgb_half, depth_half=depth_half)
                 # both dispatch programs (fused model stack / oracle_fused)
                 # dequantize u16 depth on device — no host-side conversion
                 li = lane_info[o["lane"]]
@@ -573,7 +639,8 @@ def run_episodes_farm(
             # ONE jitted call: numpy batches in, (actions, detected, goals,
             # state') out. device_put is async on this backend, so the h->d
             # transfer of one group overlaps the other group's device time.
-            depth_b = np.empty((half, h, w),
+            dh, dw = (h // 2, w // 2) if depth_half else (h, w)
+            depth_b = np.empty((half, dh, dw),
                                np.uint16 if depth_u16 else np.float32)
             rh, rw = (h // 2, w // 2) if rgb_half else (h, w)
             rgb_b = np.empty((half, rh, rw, 3), np.uint8)
@@ -595,7 +662,10 @@ def run_episodes_farm(
                 li.last = o
                 li.needs_reset = False
                 li.pending = None
-            depth_d, rgb_d = jax.device_put(depth_b), jax.device_put(rgb_b)
+            t_p = time.time()
+            depth_d, rgb_d = _put(depth_b), _put(rgb_b)
+            stats.t_put += time.time() - t_p
+            stats.bytes_put += depth_b.nbytes + rgb_b.nbytes
             actions, detected, goals, gstate[g] = fused(
                 gstate[g], fresh, jnp.asarray(reset_b), depth_d,
                 jnp.asarray(heading_b), jnp.asarray(xy_b), rgb_d,
@@ -604,7 +674,8 @@ def run_episodes_farm(
         else:
             # oracle path (perception=None): env cosine/target-mask, ONE
             # fused program per dispatch — see oracle_fused above
-            depth_b = np.empty((half, h, w),
+            dh, dw = (h // 2, w // 2) if depth_half else (h, w)
+            depth_b = np.empty((half, dh, dw),
                                np.uint16 if depth_u16 else np.float32)
             heading_b = np.empty((half,), np.float32)
             xy_b = np.empty((half, 2), np.float32)
@@ -631,11 +702,15 @@ def run_episodes_farm(
                 li.last = o
                 li.needs_reset = False
                 li.pending = None
+            t_p = time.time()
+            depth_d, bits_d = _put(depth_b), _put(bits_b)
+            stats.t_put += time.time() - t_p
+            stats.bytes_put += depth_b.nbytes + bits_b.nbytes
             actions, detected, goals, gstate[g] = oracle_fused(
                 gstate[g], fresh, jnp.asarray(reset_b),
-                jax.device_put(depth_b), jnp.asarray(heading_b),
+                depth_d, jnp.asarray(heading_b),
                 jnp.asarray(xy_b), jnp.asarray(cos_b),
-                jax.device_put(bits_b), jnp.asarray(valid0_b),
+                bits_d, jnp.asarray(valid0_b),
                 jnp.asarray(seeds_b), jnp.asarray(steps_b),
             )
         inflight[g] = (actions, detected, goals, meta)
