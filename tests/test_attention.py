@@ -49,10 +49,12 @@ def test_padded_keys_do_not_leak():
 
 def test_bf16_softmax_drift_bound():
     """TPU serving keeps the logits tensor bf16 (layers.attention routes
-    unmasked bf16 attention to attention_bf16_softmax on TPU). Pin the
-    drift against the f32-logits softmax at the ViT-g serving shape: the
-    only extra rounding is the max-subtraction in bf16, so per-element
-    output drift stays within a few bf16 ulps of the value scale."""
+    unmasked bf16 attention to attention_bf16_softmax on TPU), clamps at
+    +-80 instead of subtracting the row max, and normalizes on the (L, D)
+    output (round-5: each saves a full pass over the logits tensor). Pin
+    the drift against the f32-logits max-subtracted softmax at the ViT-g
+    serving shape, and pin the clamped path against the max-subtracted
+    bf16 path (VLFM_ATTN_MAXSUB) exactly where both are defined."""
     from vlfm_tpu.models.layers import attention_bf16_softmax
 
     ks = jax.random.split(jax.random.PRNGKey(4), 3)
@@ -63,6 +65,42 @@ def test_bf16_softmax_drift_bound():
     got = np.asarray(attention_bf16_softmax(q, k, v), np.float32)
     assert np.abs(got - want).max() < 2e-2
     assert np.abs(got - want).mean() < 2e-3
+
+    # the clamp only distorts when a row holds logits beyond +-80; random
+    # normal logits never get near it, so clamped vs max-subtracted must
+    # agree to normalization rounding
+    import os
+
+    os.environ["VLFM_ATTN_MAXSUB"] = "1"
+    try:
+        maxsub = np.asarray(attention_bf16_softmax(q, k, v), np.float32)
+    finally:
+        del os.environ["VLFM_ATTN_MAXSUB"]
+    assert np.abs(got - maxsub).max() < 2e-2
+    assert np.abs(got - maxsub).mean() < 2e-3
+
+
+def test_bf16_softmax_extreme_logits_stay_finite():
+    """The +-80 clamp's safety envelope: rows where EVERY logit saturates
+    the clamp (the pathological worst case for the unnormalized f32 sum and
+    the bf16 PV accumulation) must still produce finite, correctly
+    normalized output — uniform attention over the saturated keys."""
+    from vlfm_tpu.models.layers import attention_bf16_softmax
+
+    d = 88
+    scale = float(np.sqrt(d))
+    # q.k/sqrt(d) == +100 for every pair -> clamp to +80 across the row
+    q = jnp.full((1, 2, 257, d), np.sqrt(100.0 * scale / d), jnp.bfloat16)
+    k = q
+    v = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 257, d)).astype(
+        jnp.bfloat16
+    )
+    out = np.asarray(attention_bf16_softmax(q, k, v), np.float32)
+    assert np.isfinite(out).all()
+    want = np.asarray(jnp.mean(v.astype(jnp.float32), axis=2, keepdims=True))
+    np.testing.assert_allclose(
+        out, np.broadcast_to(want, out.shape), atol=5e-2
+    )
 
 
 def test_bf16_logits_path_gated_to_vit_trunk(monkeypatch):

@@ -78,3 +78,25 @@ def test_episode_success_through_real_pointnav_network():
         f"0/{episodes} successes through the trained network "
         f"(teacher accuracy {metrics['accuracy']:.2f})"
     )
+
+
+def test_u16_half_transport_matches_direct_seam():
+    """transport='u16_half' replicates the streamed farm's depth seam
+    (host 2x2 avg + u16 quantize -> device dequant + bilinear upsample +
+    resize_area). Labels/goals must be IDENTICAL to the direct path (the
+    teacher never sees depth) and the depth tensors must agree to the
+    quantization+resample drift bound the farm's own transport tests pin."""
+    env_cfg = EnvConfig(width=64, height=48, max_steps=30)
+    a = IM.collect_pointnav_rollouts(
+        3, seed=7, env_cfg=env_cfg, depth_shape=DEPTH_SHAPE, max_steps=16,
+    )
+    b = IM.collect_pointnav_rollouts(
+        3, seed=7, env_cfg=env_cfg, depth_shape=DEPTH_SHAPE, max_steps=16,
+        transport="u16_half",
+    )
+    np.testing.assert_array_equal(a["action"], b["action"])
+    np.testing.assert_array_equal(a["valid"], b["valid"])
+    np.testing.assert_allclose(a["goal"], b["goal"], atol=1e-6)
+    v = a["valid"][..., None, None, None]
+    drift = np.abs(np.where(v, a["depth"] - b["depth"], 0.0)).max()
+    assert drift < 0.08, f"transport depth drift {drift} exceeds bound"

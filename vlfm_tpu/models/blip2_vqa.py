@@ -56,6 +56,16 @@ class BLIP2VQAConfig:
             compute_dtype=jnp.float32,
         )
 
+    @staticmethod
+    def production() -> "BLIP2VQAConfig":
+        """Salesforce/blip2-flan-t5-xl: EVA ViT-g vision tower + BERT-base
+        Q-Former (32 queries) + flan-t5-xl language model — the exact
+        composition the reference serves for the VQA veto
+        (vlfm/vlm/blip2.py:19-24, base_objectnav_policy.py:326-335). The
+        ViT/Q-Former defaults of this repo ARE the production sizes (shared
+        with BLIP2-ITM)."""
+        return BLIP2VQAConfig(t5=T5Config.flan_xl())
+
 
 class BLIP2VisualPrefixModule(nn.Module):
     """images [0,1] -> (B, Q, t5.d_model) language-projected query tokens."""

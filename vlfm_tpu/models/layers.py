@@ -88,17 +88,32 @@ def attention(q, k, v, mask: Optional[jnp.ndarray] = None, allow_bf16_logits: bo
 
 
 def attention_bf16_softmax(q, k, v):
-    """Unmasked attention with the logits tensor kept bf16 (exp/normalize
-    f32). The bf16 q@k^T output is already bf16-rounded; the extra rounding
-    vs the f32-softmax path is only the max-subtraction, bounding the
-    per-probability drift at ~2^-8 relative (pinned in tests/test_attention
-    at the ViT-g serving shape)."""
+    """Unmasked attention with the logits tensor kept bf16 (exp/sum f32),
+    a CLAMP instead of the max-subtraction pass, and the softmax divide
+    moved to the (L, D) output (round-5 measured: each saves a full pass
+    over the (B, H, L, L) logits tensor — trunk 128.1 -> 121.6 ms at the
+    ViT-g serving shape, scripts/diag_attn3.py).
+
+    Safety envelope of the clamp: exp(80) = 5.5e34, so a 257-key row sum
+    stays < 1.5e37 << f32 max, and the unnormalized PV output (< ~1e38)
+    divides back to O(1) in f32 before the bf16 cast. LN'd ViT-g logits
+    measure |x| < ~30; a head would need TWO DISTINCT logits above +80 for
+    the clamp to distort its (already one-hot) softmax. VLFM_ATTN_MAXSUB=1
+    restores the exact max-subtracted path for A/Bs; drift vs that path is
+    pinned in tests/test_attention.py at the serving shapes."""
+    import os
+
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.bfloat16(d**-0.5)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp((logits - m).astype(jnp.float32))
-    probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if os.environ.get("VLFM_ATTN_MAXSUB"):
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp((logits - m).astype(jnp.float32))
+        probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    p = jnp.exp(jnp.clip(logits.astype(jnp.float32), -80.0, 80.0))
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
+    return (o.astype(jnp.float32) / s).astype(q.dtype)
 
 
 def split_heads(x, num_heads):

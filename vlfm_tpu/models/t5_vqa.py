@@ -44,6 +44,15 @@ class T5Config:
             enc_layers=2, dec_layers=2,
         )
 
+    @staticmethod
+    def flan_xl() -> "T5Config":
+        """google/flan-t5-xl — the language stack of the reference's VQA
+        model Salesforce/blip2-flan-t5-xl (vlfm/vlm/blip2.py:19-24)."""
+        return T5Config(
+            vocab_size=32128, d_model=2048, d_kv=64, d_ff=5120, heads=32,
+            enc_layers=24, dec_layers=24,
+        )
+
 
 class RMSNorm(nn.Module):
     eps: float = 1e-6

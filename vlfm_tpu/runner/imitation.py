@@ -49,6 +49,7 @@ def collect_pointnav_rollouts(
     plan_name: str = "open_room_plan",
     stop_radius: float = 0.9,
     goal_range: Tuple[float, float] = (1.5, 4.0),
+    transport: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Greedy point-goal rollouts in the synthetic env.
 
@@ -60,10 +61,21 @@ def collect_pointnav_rollouts(
     ops/resize matmul resize), so the training distribution matches the
     serving seam.
 
+    ``transport='u16_half'`` replicates the streamed farm's observation
+    seam EXACTLY (sim_farm.pack_obs depth_half+depth_u16 -> fused-program
+    dequant + bilinear upsample -> itm.py:263 resize_area): frames are 2x2
+    box-averaged and u16-quantized on the host, then dequantized, upsampled
+    to camera res, and resized to ``depth_shape`` on DEVICE in one batched
+    call per episode — so the BC training distribution matches what the
+    trained network sees inside the farm, and host->device traffic is
+    ~150 KB/frame instead of 1.2 MB. ``None`` keeps the in-process seam
+    (direct bilinear to ``depth_shape``), which CPU tests pin.
+
     Returns time-major-friendly batch arrays:
       depth (N, T, h, w, 1) f32; goal (N, T, 2) f32 rho-theta;
       action (N, T) i32 teacher labels; valid (N, T) bool.
     """
+    import jax
     import jax.numpy as jnp
 
     from vlfm_tpu.utils.img import resize_area
@@ -78,6 +90,21 @@ def collect_pointnav_rollouts(
     action = np.zeros((N, T), np.int32)
     valid = np.zeros((N, T), bool)
 
+    if transport == "u16_half":
+        from vlfm_tpu.ops.resize import resize_bilinear
+
+        @jax.jit
+        def _device_seam(d_u16):
+            # the fused farm program's exact depth path: dequant u16 ->
+            # bilinear upsample to camera res -> resize_area to depth_shape
+            d = d_u16.astype(jnp.float32) * (1.0 / 65535.0)
+            full = resize_bilinear(
+                d[..., None], env_cfg.height, env_cfg.width
+            )
+            return resize_area(full, (h, w))
+    elif transport is not None:
+        raise ValueError(f"unknown transport {transport!r}")
+
     for n in range(N):
         env = FE.FakeObjectNavEnv(plan_fn(seed=seed + n), env_cfg)
         o = env.reset()
@@ -85,6 +112,8 @@ def collect_pointnav_rollouts(
         bearing = rng.uniform(-np.pi, np.pi)
         gx = env.x + dist * math.cos(bearing)
         gy = env.y + dist * math.sin(bearing)
+        raw_u16 = [] if transport == "u16_half" else None
+        n_t = 0
         for t in range(T):
             lx, ly = gx - env.x, gy - env.y
             c, s = math.cos(-env.yaw), math.sin(-env.yaw)
@@ -93,16 +122,28 @@ def collect_pointnav_rollouts(
             if rho < stop_radius:
                 break
             a = _greedy_action(theta)
-            d = np.asarray(
-                resize_area(jnp.asarray(o["depth"], jnp.float32), (h, w))
-            )
-            depth[n, t, :, :, 0] = d
+            if raw_u16 is not None:
+                d = np.asarray(o["depth"], np.float32)
+                dh = 0.25 * (
+                    d[0::2, 0::2] + d[0::2, 1::2] + d[1::2, 0::2] + d[1::2, 1::2]
+                )  # sim_farm._avg2x2_f32
+                raw_u16.append(
+                    (np.clip(dh, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)
+                )
+            else:
+                depth[n, t, :, :, 0] = np.asarray(
+                    resize_area(jnp.asarray(o["depth"], jnp.float32), (h, w))
+                )
             goal[n, t] = (rho, theta)
             action[n, t] = a
             valid[n, t] = True
+            n_t = t + 1
             o = env.step(a)
             if o["done"]:
                 break
+        if raw_u16:
+            batch = np.stack(raw_u16)  # (t, H/2, W/2) u16
+            depth[n, :n_t] = np.asarray(_device_seam(jnp.asarray(batch)))
     return {"depth": depth, "goal": goal, "action": action, "valid": valid}
 
 
@@ -208,6 +249,7 @@ def fit_pointnav_to_greedy(
     env_cfg: Optional[FE.EnvConfig] = None,
     max_steps: int = 48,
     discrete: bool = True,
+    transport: Optional[str] = None,
 ):
     """Collect greedy rollouts, BC-train the real network, return the
     trained ``PointNavPolicy`` plus metrics — the air-gapped stand-in for
@@ -218,7 +260,7 @@ def fit_pointnav_to_greedy(
 
     data = collect_pointnav_rollouts(
         episodes, seed=seed, env_cfg=env_cfg, depth_shape=depth_shape,
-        max_steps=max_steps,
+        max_steps=max_steps, transport=transport,
     )
     pn = PointNavPolicy({}, discrete=discrete)
     params = pn.init_params(jax.random.PRNGKey(seed), depth_shape=depth_shape)
