@@ -554,9 +554,17 @@ def bench_vqa_veto(rgb, k: int, cap: int = 8) -> dict:
         masks = jnp.broadcast_to(m, (b, k, hh, ww))
         out["vqa_model_init_s"] = round(time.time() - t0, 1)
 
+        # ONE jitted program, exactly how the farm's fused step serves the
+        # veto (make_fused_step traces VQAVeto.__call__ inline): eager
+        # composition would re-pay ~3.6 s/call of unfused contour-annotation
+        # work over the (B, K, H, W) masks that XLA fuses away in serving.
+        @jax.jit
+        def veto_call(rgb_, masks_, valid_):
+            return veto(rgb_, masks_, valid_, "toilet")
+
         def run(n_valid):
             valid = (jnp.arange(b * k) < n_valid).reshape(b, k)
-            return lambda: veto(rgb, masks, valid, "toilet")
+            return lambda: veto_call(rgb, masks, valid)
 
         out["vqa_veto_ms_low_density"] = round(
             pipelined_ms(run(cap), iters=3, warm=1), 1)  # 1 pass
@@ -743,7 +751,8 @@ def measure_link(size_mb: int = 4, iters: int = 4):
 
 
 def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int = 2,
-                              rgb_half: bool = True, oracle: bool = True):
+                              rgb_half: bool = True, oracle: bool = True,
+                              ab_fullres: bool = True):
     """The complete serving system measured as ONE loop: worker processes run
     live synthetic 480x640 RGBD environments, frames cross a shared-memory
     ring, the driver streams each group's observations host->device and runs
@@ -855,6 +864,8 @@ def bench_full_stack_streamed(lanes: int = 16, max_steps: int = 40, workers: int
     # THIS session's link, isolating the depth-halving lever from session
     # bandwidth variance. Short run; its fused program differs only in the
     # depth input shape, so it compiles in its own 2-step warmup farm first.
+    if not ab_fullres:
+        return stats.steps_per_sec, extras
     sim_farm.run_episodes_farm(
         list(range(lanes)), lanes=lanes, pointnav=pointnav, spec=spec, cfg=cfg,
         plan_name="two_room_plan", env_cfg=env_cfg, workers=workers,
