@@ -53,6 +53,7 @@ def cpu_devices():
 SLOW_FILES = {
     "test_blip2.py",
     "test_blip2_vqa.py",
+    "test_precision.py",
     "test_deform_gather.py",
     "test_oracle_fbe.py",
     "test_weights_bundle.py",
