@@ -307,3 +307,63 @@ def test_farm_depth_half_runs_episodes():
     assert stats.env_steps > 0
     assert stats.bytes_put > 0 and stats.t_put > 0.0
     assert all(r.steps > 0 for r in farm.values())
+
+
+@needs_native
+def test_packed_transport_bit_identical():
+    """The single-buffer dispatch transport (runner/packing.py: one u8 put,
+    one f32 readback, on-device bitcast unpack) must reproduce the unpacked
+    transport's episode results EXACTLY — same success/steps/spl/taxonomy —
+    under the production flags (u16 half-res depth)."""
+    seeds = [0, 1, 2, 3, 4, 5]
+    kw = dict(
+        lanes=2, pointnav="greedy", spec=SPEC, cfg=CFG,
+        plan_name="open_room_plan", env_cfg=ENV, workers=2,
+        depth_u16=True, depth_half=True,
+    )
+    packed, _ = sim_farm.run_episodes_farm(
+        seeds, ring_prefix="vlfm_test_pk1", packed=True, **kw
+    )
+    unpacked, _ = sim_farm.run_episodes_farm(
+        seeds, ring_prefix="vlfm_test_pk0", packed=False, **kw
+    )
+    assert set(packed) == set(seeds) == set(unpacked)
+    for s in seeds:
+        a, b = packed[s], unpacked[s]
+        assert a.success == b.success, f"seed {s}: success diverged"
+        assert a.steps == b.steps, f"seed {s}: step count diverged"
+        assert abs(a.spl - b.spl) < 1e-9, f"seed {s}: spl diverged"
+        assert a.target_detected == b.target_detected, f"seed {s}"
+        assert a.failure_cause == b.failure_cause, f"seed {s}: taxonomy"
+
+
+def test_packing_roundtrip_all_dtypes():
+    """Host pack_views -> device unpack_device is bit-exact per field."""
+    import jax
+
+    from vlfm_tpu.runner.packing import build_layout, pack_views, unpack_device
+
+    layout = build_layout([
+        ("depth", "uint16", (3, 4, 5)),
+        ("rgb", "uint8", (3, 2, 2, 3)),
+        ("heading", "float32", (3,)),
+        ("xy", "float32", (3, 2)),
+        ("seeds", "int32", (3,)),
+        ("reset", "uint8", (3,)),
+    ])
+    buf = np.zeros(layout.total, np.uint8)
+    v = pack_views(buf, layout)
+    rng = np.random.default_rng(0)
+    v["depth"][:] = rng.integers(0, 65535, v["depth"].shape, dtype=np.uint16)
+    v["rgb"][:] = rng.integers(0, 255, v["rgb"].shape, dtype=np.uint8)
+    v["heading"][:] = rng.normal(size=v["heading"].shape).astype(np.float32)
+    v["xy"][:] = rng.normal(size=v["xy"].shape).astype(np.float32)
+    v["seeds"][:] = rng.integers(-2**31, 2**31 - 1, v["seeds"].shape,
+                                 dtype=np.int32)
+    v["reset"][:] = rng.integers(0, 2, v["reset"].shape, dtype=np.uint8)
+
+    out = jax.jit(lambda b: unpack_device(layout, b))(jnp.asarray(buf))
+    for name, host in v.items():
+        got = np.asarray(out[name])
+        assert got.dtype == host.dtype and got.shape == host.shape, name
+        assert np.array_equal(got, host), f"{name} not bit-exact"

@@ -181,3 +181,73 @@ class TestTaxonomyClosedLoop:
             # if exploration never covered the target area:
             "never_saw_target_did_not_travel_stairs_feasible",
         )
+
+
+class TestRowBandedRenderExactness:
+    """The row-banded _observe (round 5: per-wall/target work restricted to
+    the image-row band the geometry can touch) must be BIT-IDENTICAL to the
+    straight full-frame broadcast of the documented ray-cast semantics —
+    the episode-parity suites and the farm's pinned transport drift bounds
+    all sit on these pixels."""
+
+    @staticmethod
+    def _naive_observe(env):
+        c, plan = env.cfg, env.plan
+        bearings = env.yaw - env._phi
+        cam_h = np.float32(c.camera_height)
+        t_walls = env._ray_walls(env.x, env.y, bearings)
+        t_target = env._ray_target(env.x, env.y, bearings)
+        cos_phi, slope = env._cos_phi32, env._slope32
+        zf = np.where(
+            np.isfinite(t_walls), t_walls * cos_phi[None, :], np.inf
+        ).astype(np.float32)
+        h, w = slope.shape[0], zf.shape[1]
+        zbest = np.full((h, w), np.inf, np.float32)
+        with np.errstate(invalid="ignore"):
+            for i in range(zf.shape[0]):
+                zi = zf[i]
+                if not np.isfinite(zi).any():
+                    continue
+                h_at = cam_h - slope[:, None] * zi[None, :]
+                ok = (h_at <= env._heights32[i]) & (h_at >= 0.0)
+                ok &= zi[None, :] < zbest
+                zbest = np.where(ok, zi[None, :], zbest)
+        zbest = np.minimum(zbest, env._zfc32[:, None])
+        zt = np.where(
+            np.isfinite(t_target), t_target * cos_phi, 1e9
+        ).astype(np.float32)
+        h_at = cam_h - slope[:, None] * zt[None, :]
+        t_ok = (zt < 1e8)[None, :] & (h_at >= 0.0) & (h_at <= plan.target_height)
+        zt_full = np.where(t_ok, zt[None, :], np.inf)
+        mask = t_ok & (zt_full <= zbest) & (zt_full < c.max_depth)
+        zbest = np.minimum(zbest, zt_full)
+        z_cl = np.clip(zbest, c.min_depth, c.max_depth)
+        norm = (z_cl - c.min_depth) / (c.max_depth - c.min_depth)
+        depth = np.where(np.isinf(zbest), 1.0, norm).astype(np.float32)
+        rgb = np.repeat(
+            ((1.0 - depth) * 200 + 30).astype(np.uint8)[..., None], 3, axis=2
+        )
+        rgb[mask] = (220, 40, 40)
+        return depth, mask, rgb
+
+    @pytest.mark.parametrize(
+        "plan_name", ["two_room_plan", "furnished_room_plan", "stairs_plan"]
+    )
+    def test_bit_identical_to_full_broadcast(self, plan_name):
+        from vlfm_tpu.runner import fake_env as FE
+
+        env = FE.FakeObjectNavEnv(
+            getattr(FE, plan_name)(1),
+            FE.EnvConfig(max_steps=5000, width=160, height=120),
+        )
+        env.reset()
+        rng = np.random.default_rng(7)
+        for _ in range(30):
+            out = env.step(int(rng.integers(1, 4)))
+            o = out[0] if isinstance(out, tuple) else out
+            nd, nm, nr = self._naive_observe(env)
+            assert np.array_equal(o["depth"], nd)
+            assert np.array_equal(o["target_mask"], nm)
+            assert np.array_equal(o["rgb"], nr)
+            if o["done"]:
+                break

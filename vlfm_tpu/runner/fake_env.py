@@ -286,39 +286,77 @@ class FakeObjectNavEnv:
             np.isfinite(t_walls), t_walls * cos_phi[None, :], np.inf
         ).astype(np.float32)  # (Nw, W); inf rays stay inf (nan-safe compares)
         h, w = slope.shape[0], zf.shape[1]
-        zbest = np.full((h, w), np.inf, np.float32)
+        # floor/ceiling limit as the initial hit (identical final min to the
+        # former init-at-inf + late np.minimum, and it prunes wall writes
+        # beyond the floor/ceiling early)
+        zbest = np.empty((h, w), np.float32)
+        zbest[:] = self._zfc32[:, None]
         h_at = np.empty((h, w), np.float32)
         ok = np.empty((h, w), bool)
         slope_col = slope[:, None]
+
+        def _row_band(zmin: float, zmax: float, top: float) -> tuple:
+            """Rows whose slope can satisfy 0 <= cam_h - s*z <= top for some
+            z in [zmin, zmax]: s in [(cam_h-top)/z*, cam_h/zmin]. slope is
+            ascending; +-2 rows absorb f32-vs-f64 boundary rounding so the
+            in-band (exact, original) comparisons see every candidate row."""
+            s_hi = float(cam_h) / zmin
+            s_lo = (float(cam_h) - top) / (zmin if top > cam_h else zmax)
+            r0 = max(int(np.searchsorted(slope, s_lo, "left")) - 2, 0)
+            r1 = min(int(np.searchsorted(slope, s_hi, "right")) + 2, h)
+            return r0, r1
+
         with np.errstate(invalid="ignore"):
             for i in range(zf.shape[0]):
                 zi = zf[i]
-                if not np.isfinite(zi).any():  # wall fully missed / behind
+                fin = np.isfinite(zi)
+                if not fin.any():  # wall fully missed / behind
                     continue
-                np.multiply(slope_col, zi[None, :], out=h_at)
-                np.subtract(cam_h, h_at, out=h_at)
-                np.less_equal(h_at, self._heights32[i], out=ok)
-                ok &= h_at >= 0.0
-                ok &= zi[None, :] < zbest
-                np.copyto(zbest, np.broadcast_to(zi[None, :], (h, w)), where=ok)
-        # floor (z=0) and ceiling — precomputed per row (__init__, _zfc32)
-        np.minimum(zbest, self._zfc32[:, None], out=zbest)
-        # target cylinder (target_height m tall)
+                zfin = zi[fin]
+                # the wall only occupies a band of image rows — run the
+                # exact per-pixel test on that slab only (the full-frame
+                # per-wall passes were the farm workers' hottest loop)
+                r0, r1 = _row_band(
+                    float(zfin.min()), float(zfin.max()),
+                    float(self._heights32[i]),
+                )
+                if r0 >= r1:
+                    continue
+                ha, oks, zb = h_at[r0:r1], ok[r0:r1], zbest[r0:r1]
+                np.multiply(slope_col[r0:r1], zi[None, :], out=ha)
+                np.subtract(cam_h, ha, out=ha)
+                np.less_equal(ha, self._heights32[i], out=oks)
+                oks &= ha >= 0.0
+                oks &= zi[None, :] < zb
+                np.copyto(zb, np.broadcast_to(zi[None, :], zb.shape), where=oks)
+        # target cylinder (target_height m tall), same row-band treatment
         zt = np.where(np.isfinite(t_target), t_target * cos_phi, 1e9).astype(np.float32)
-        h_at = cam_h - slope[:, None] * zt[None, :]
-        t_ok = (zt < 1e8)[None, :] & (h_at >= 0.0) & (h_at <= plan.target_height)
-        zt_full = np.where(t_ok, zt[None, :], np.inf)
-        mask = t_ok & (zt_full <= zbest) & (zt_full < c.max_depth)
-        zbest = np.minimum(zbest, zt_full)
+        mask = np.zeros((h, w), bool)
+        ztmin = float(zt.min())
+        if ztmin < 1e8:
+            th = float(plan.target_height)
+            r0, r1 = _row_band(ztmin, float(zt[zt < 1e8].max()), th)
+            if r0 < r1:
+                with np.errstate(invalid="ignore"):
+                    h_t = cam_h - slope_col[r0:r1] * zt[None, :]
+                    t_ok = (zt < 1e8)[None, :] & (h_t >= 0.0) & (h_t <= th)
+                    zt_band = np.where(t_ok, zt[None, :], np.inf)
+                    zb = zbest[r0:r1]
+                    mask[r0:r1] = t_ok & (zt_band <= zb) & (zt_band < c.max_depth)
+                    np.minimum(zb, zt_band, out=zb)
 
-        z_cl = np.clip(zbest, c.min_depth, c.max_depth)
-        norm = (z_cl - c.min_depth) / (c.max_depth - c.min_depth)
-        depth = np.where(np.isinf(zbest), 1.0, norm).astype(np.float32)
+        # clip((z - min)/range, 0, 1) == the former clip-then-normalize with
+        # the inf->1.0 where() folded in (inf/range clips to 1.0)
+        depth = np.clip(
+            (zbest - c.min_depth) / (c.max_depth - c.min_depth), 0.0, 1.0
+        )
 
         target_visible = bool(mask.sum() > 2)
         # synthetic RGB: shaded from depth, the target painted red — enough
         # signal for the real perception stack to run end-to-end
-        rgb = np.repeat(((1.0 - depth) * 200 + 30).astype(np.uint8)[..., None], 3, axis=2)
+        shade = ((1.0 - depth) * 200 + 30).astype(np.uint8)
+        rgb = np.empty((h, w, 3), np.uint8)
+        np.copyto(rgb, shade[..., None])
         rgb[mask] = (220, 40, 40)
 
         # distance to the object's surface, not its centre (habitat ObjectNav

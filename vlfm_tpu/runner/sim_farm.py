@@ -356,6 +356,7 @@ def run_episodes_farm(
     rgb_half: bool = False,
     depth_half: bool = False,
     sharding=None,
+    packed: bool = True,
 ):
     """Drive ``lanes`` episode lanes fed by ``workers`` sim processes.
 
@@ -377,6 +378,15 @@ def run_episodes_farm(
     bit-identical to the unsharded farm — asserted by
     ``__graft_entry__.dryrun_multichip``'s farm tier. ``lanes/2`` must be
     divisible by the mesh's data axis.
+
+    With ``packed`` (default), each dispatch crosses the host->device
+    boundary as ONE uint8 buffer (and its results come back as ONE f32
+    array) — on latency-bound links (dev tunnel ~26 ms RTT) the unpacked
+    transport's ~7 puts + 2 readback round trips per dispatch were the
+    throughput floor (runner/packing.py). Bit-identical to unpacked
+    (on-device bitcast; pinned by tests/test_sim_farm.py). Auto-disabled
+    under ``sharding`` (a flat byte buffer cannot carry the episode-axis
+    sharding).
 
     Returns ({seed: EpisodeResult}, FarmStats). Requires the native obsring
     (ObservationRing.available()); callers fall back to run_episodes_recycled.
@@ -401,6 +411,34 @@ def run_episodes_farm(
     assert not (rgb_half or depth_half) or (h % 2 == 0 and w % 2 == 0), (
         "half-res transport needs even dims"
     )
+    if sharding is not None:
+        packed = False  # flat byte buffer cannot carry the episode sharding
+    dh, dw = (h // 2, w // 2) if depth_half else (h, w)
+    rh, rw = (h // 2, w // 2) if rgb_half else (h, w)
+    dlayout = None
+    if packed:
+        from vlfm_tpu.runner.packing import build_layout, pack_views
+
+        dt_depth = "uint16" if depth_u16 else "float32"
+        if want_rgb:
+            specs = [("depth", dt_depth, (half, dh, dw)),
+                     ("rgb", "uint8", (half, rh, rw, 3))]
+        else:
+            specs = [("depth", dt_depth, (half, dh, dw)),
+                     ("cos", "float32", (half, cfg.value_channels)),
+                     ("bits", "uint8", (half, (h * w + 7) // 8)),
+                     ("valid0", "uint8", (half,))]
+        specs += [("heading", "float32", (half,)),
+                  ("xy", "float32", (half, 2)),
+                  ("seeds", "int32", (half,)),
+                  ("steps", "int32", (half,)),
+                  ("reset", "uint8", (half,))]
+        dlayout = build_layout(specs)
+        # one buffer per group: a group's buffer is only rewritten after its
+        # previous dispatch has been synced, so an in-flight transfer never
+        # races the refill
+        gbufs = [np.zeros(dlayout.total, np.uint8) for _ in range(2)]
+        gviews = [pack_views(b, dlayout) for b in gbufs]
     obs_ring = ObservationRing.create(
         f"{ring_prefix}_obs",
         slot_bytes=obs_slot_bytes(h, w, rgb=want_rgb, depth_u16=depth_u16,
@@ -479,7 +517,7 @@ def run_episodes_farm(
     fused = None
     if perception is not None:
         fused = perception.make_fused_step(
-            pointnav, spec, cfg, target, version=version
+            pointnav, spec, cfg, target, version=version, layout=dlayout
         )
 
     def one(state, obs, cosines, masks, valid, rng):
@@ -501,8 +539,19 @@ def run_episodes_farm(
     from vlfm_tpu.utils.geometry import xyz_yaw_to_tf_matrix
 
     @jax.jit
-    def oracle_fused(gs, fresh_, reset_mask, depth, heading, xy, cos,
-                     mask_bits, valid0, seeds, steps):
+    def oracle_fused(gs, fresh_, *args):
+        if dlayout is not None:
+            from vlfm_tpu.runner.packing import unpack_device
+
+            f = unpack_device(dlayout, args[0])
+            reset_mask = f["reset"].astype(bool)
+            depth, heading, xy = f["depth"], f["heading"], f["xy"]
+            cos, mask_bits = f["cos"], f["bits"]
+            valid0 = f["valid0"].astype(bool)
+            seeds, steps = f["seeds"], f["steps"]
+        else:
+            (reset_mask, depth, heading, xy, cos,
+             mask_bits, valid0, seeds, steps) = args
         if depth.dtype == jnp.uint16:
             depth = depth.astype(jnp.float32) * (1.0 / 65535.0)
         if depth.shape[-2:] != (h, w):
@@ -534,6 +583,16 @@ def run_episodes_farm(
             lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
         )(seeds, steps)
         actions, infos, gs2 = jax.vmap(one)(gs, obs, cos, masks, valid, keys)
+        if dlayout is not None:
+            out = jnp.concatenate(
+                [
+                    actions.astype(jnp.float32)[:, None],
+                    infos.target_detected.astype(jnp.float32)[:, None],
+                    infos.goal.astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            return out, gs2
         return actions, infos.target_detected, infos.goal, gs2
 
     lane_info = [_Lane(stairs=TraveledStairs()) for _ in range(lanes)]
@@ -635,33 +694,67 @@ def run_episodes_farm(
     def dispatch(g: int) -> None:
         idx = groups[g]
         meta = []
-        if fused is not None:
-            # ONE jitted call: numpy batches in, (actions, detected, goals,
-            # state') out. device_put is async on this backend, so the h->d
-            # transfer of one group overlaps the other group's device time.
-            dh, dw = (h // 2, w // 2) if depth_half else (h, w)
+        if dlayout is not None:
+            # packed transport: fill the group's preallocated buffer views
+            # in place, ship ONE u8 buffer, get ONE packed result array —
+            # one put + one readback round trip on latency-bound links
+            v = gviews[g]
+            depth_b, heading_b, xy_b = v["depth"], v["heading"], v["xy"]
+            seeds_b, steps_b, reset_b = v["seeds"], v["steps"], v["reset"]
+            seeds_b[:] = 0
+            steps_b[:] = 0
+            if fused is not None:
+                rgb_b = v["rgb"]
+            else:
+                cos_b, bits_b, valid0_b = v["cos"], v["bits"], v["valid0"]
+                cos_b[:] = 0.0
+                bits_b[:] = 0
+                valid0_b[:] = 0
+        else:
             depth_b = np.empty((half, dh, dw),
                                np.uint16 if depth_u16 else np.float32)
-            rh, rw = (h // 2, w // 2) if rgb_half else (h, w)
-            rgb_b = np.empty((half, rh, rw, 3), np.uint8)
             heading_b = np.empty((half,), np.float32)
             xy_b = np.empty((half, 2), np.float32)
             seeds_b = np.zeros((half,), np.int32)
             steps_b = np.zeros((half,), np.int32)
             reset_b = np.zeros((half,), bool)
-            for j, lane in enumerate(idx):
-                li = lane_info[lane]
-                o = li.pending if li.pending is not None else li.last
-                if li.pending is not None:
-                    li.stairs.update(o.get("agent_z", 0.0))
-                    seeds_b[j], steps_b[j] = li.seed, li.step
-                depth_b[j], rgb_b[j] = o["depth"], o["rgb"]
-                heading_b[j], xy_b[j] = o["heading"], o["robot_xy"]
-                reset_b[j] = li.needs_reset
-                meta.append((lane, li.seed, li.step, li.pending is not None))
-                li.last = o
-                li.needs_reset = False
-                li.pending = None
+            if fused is not None:
+                rgb_b = np.empty((half, rh, rw, 3), np.uint8)
+            else:
+                cos_b = np.zeros((half, cfg.value_channels), np.float32)
+                bits_b = np.zeros((half, (h * w + 7) // 8), np.uint8)
+                valid0_b = np.zeros((half,), bool)
+        for j, lane in enumerate(idx):
+            li = lane_info[lane]
+            o = li.pending if li.pending is not None else li.last
+            if li.pending is not None:
+                li.stairs.update(o.get("agent_z", 0.0))
+                seeds_b[j], steps_b[j] = li.seed, li.step
+            depth_b[j] = o["depth"]
+            heading_b[j], xy_b[j] = o["heading"], o["robot_xy"]
+            if fused is not None:
+                rgb_b[j] = o["rgb"]
+            else:
+                cos_b[j] = o["cosine"]
+                if o["target_visible"]:
+                    bits_b[j] = np.packbits(o["target_mask"])
+                    valid0_b[j] = True
+            reset_b[j] = li.needs_reset
+            meta.append((lane, li.seed, li.step, li.pending is not None))
+            li.last = o
+            li.needs_reset = False
+            li.pending = None
+        if dlayout is not None:
+            t_p = time.time()
+            buf_d = _put(gbufs[g])
+            stats.t_put += time.time() - t_p
+            stats.bytes_put += gbufs[g].nbytes
+            if fused is not None:
+                out, gstate[g] = fused(gstate[g], fresh, buf_d)
+            else:
+                out, gstate[g] = oracle_fused(gstate[g], fresh, buf_d)
+            inflight[g] = (out, meta)
+        elif fused is not None:
             t_p = time.time()
             depth_d, rgb_d = _put(depth_b), _put(rgb_b)
             stats.t_put += time.time() - t_p
@@ -671,37 +764,8 @@ def run_episodes_farm(
                 jnp.asarray(heading_b), jnp.asarray(xy_b), rgb_d,
                 jnp.asarray(seeds_b), jnp.asarray(steps_b),
             )
+            inflight[g] = (actions, detected, goals, meta)
         else:
-            # oracle path (perception=None): env cosine/target-mask, ONE
-            # fused program per dispatch — see oracle_fused above
-            dh, dw = (h // 2, w // 2) if depth_half else (h, w)
-            depth_b = np.empty((half, dh, dw),
-                               np.uint16 if depth_u16 else np.float32)
-            heading_b = np.empty((half,), np.float32)
-            xy_b = np.empty((half, 2), np.float32)
-            cos_b = np.zeros((half, cfg.value_channels), np.float32)
-            bits_b = np.zeros((half, (h * w + 7) // 8), np.uint8)
-            valid0_b = np.zeros((half,), bool)
-            seeds_b = np.zeros((half,), np.int32)
-            steps_b = np.zeros((half,), np.int32)
-            reset_b = np.zeros((half,), bool)
-            for j, lane in enumerate(idx):
-                li = lane_info[lane]
-                o = li.pending if li.pending is not None else li.last
-                if li.pending is not None:
-                    li.stairs.update(o.get("agent_z", 0.0))
-                    seeds_b[j], steps_b[j] = li.seed, li.step
-                depth_b[j] = o["depth"]
-                heading_b[j], xy_b[j] = o["heading"], o["robot_xy"]
-                cos_b[j] = o["cosine"]
-                if o["target_visible"]:
-                    bits_b[j] = np.packbits(o["target_mask"])
-                    valid0_b[j] = True
-                reset_b[j] = li.needs_reset
-                meta.append((lane, li.seed, li.step, li.pending is not None))
-                li.last = o
-                li.needs_reset = False
-                li.pending = None
             t_p = time.time()
             depth_d, bits_d = _put(depth_b), _put(bits_b)
             stats.t_put += time.time() - t_p
@@ -713,17 +777,25 @@ def run_episodes_farm(
                 bits_d, jnp.asarray(valid0_b),
                 jnp.asarray(seeds_b), jnp.asarray(steps_b),
             )
-        inflight[g] = (actions, detected, goals, meta)
+            inflight[g] = (actions, detected, goals, meta)
         stats.dispatches += 1
         if inflight[1 - g] is not None:
             stats.overlapped += 1
 
     def sync(g: int) -> None:
-        actions, detected, goals, meta = inflight[g]
-        inflight[g] = None
-        actions_np, detected_np, goals_np = (
-            np.asarray(x) for x in jax.device_get((actions, detected, goals))
-        )
+        if dlayout is not None:
+            out, meta = inflight[g]
+            inflight[g] = None
+            out_np = np.asarray(jax.device_get(out))
+            actions_np = out_np[:, 0].astype(np.int32)
+            detected_np = out_np[:, 1] > 0.5
+            goals_np = out_np[:, 2:4]
+        else:
+            actions, detected, goals, meta = inflight[g]
+            inflight[g] = None
+            actions_np, detected_np, goals_np = (
+                np.asarray(x) for x in jax.device_get((actions, detected, goals))
+            )
         for j, (lane, seed, step, live) in enumerate(meta):
             if not live:
                 continue
